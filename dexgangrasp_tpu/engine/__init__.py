@@ -1,0 +1,9 @@
+from dexgangrasp_tpu.engine.folding import (
+    fold_generator,
+    fold_evaluator,
+    generator_object_context,
+    evaluator_object_context,
+    generator_apply_folded,
+    evaluator_apply_folded,
+)
+from dexgangrasp_tpu.engine.pipeline import GraspEngine, sample_and_score

@@ -1,0 +1,216 @@
+"""The fused grasp-synthesis inference engine.
+
+One jitted XLA program runs the whole reference inference loop
+(``dexgangrasp_offline.py`` §3.3 call stack: encode → sample N latents →
+generator → rot6d→matrix → palm back-off → evaluator → sort/filter) with
+zero host↔device round-trips until the final (already sorted) result is
+pulled.  The reference crosses the host/device boundary ≥4 times per object
+and re-tiles the 4096-dim BPS row N times; here the object enters the
+program once, is folded into per-object contexts (engine/folding.py), and
+N grasps cost only the small per-grasp layers.
+
+Static shapes everywhere: N is a compile-time constant per call signature,
+thresholding returns a fixed-size sorted batch + validity count instead of
+the reference's data-dependent boolean indexing (``dexgangrasp.py:418-435``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dexgangrasp_tpu.core.grasp import Grasps
+from dexgangrasp_tpu.core.rotations import rot_matrix_from_ortho6d
+from dexgangrasp_tpu.core.transforms import translate_along_axis
+from dexgangrasp_tpu.engine import folding
+from dexgangrasp_tpu.ops.bps import BPSEncoder, bps_encode, load_basis, pad_cloud
+
+DEFAULT_Z_OFFSET = 0.025  # m; reference generate_grasps default (networks.py:257)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "sample_uniform", "sort"))
+def sample_and_score(gen_folded: dict, eva_folded: dict, bps: jax.Array,
+                     key: jax.Array, n: int,
+                     z_offset: float = DEFAULT_Z_OFFSET,
+                     sample_uniform: bool = False,
+                     sort: bool = True) -> Grasps:
+    """The fused program: one object BPS row → n scored, sorted grasps.
+
+    Args:
+      gen_folded/eva_folded: folded params from engine.folding.
+      bps: (4096,) object encoding.
+      key: PRNG key.
+      n: number of grasps (static).
+      z_offset: palm back-off along the rotated x-axis (reference
+        networks.py:254: ``translate_along_axis(results, 0, z_offset)``).
+      sample_uniform: z ~ U(-4, 4) instead of N(0, I) (networks.py:241-243).
+      sort: return grasps sorted by evaluator score descending.
+
+    Returns a ``Grasps`` batch with ``score`` filled.
+    """
+    latent = gen_folded["rb1"]["w1_z"].shape[0]
+    if sample_uniform:
+        z = 8.0 * jax.random.uniform(key, (n, latent), bps.dtype) - 4.0
+    else:
+        z = jax.random.normal(key, (n, latent), bps.dtype)
+
+    gen_ctx = folding.generator_object_context(gen_folded, bps)
+    eva_ctx = folding.evaluator_object_context(eva_folded, bps)
+
+    rot6, transl, joints = folding.generator_apply_folded(gen_folded, gen_ctx, z)
+    rot = rot_matrix_from_ortho6d(rot6)
+    transl = translate_along_axis(transl, rot, 0, z_offset)
+
+    # row-major flatten matches the reference's rot_matrix.view(N, -1)
+    pose = jnp.concatenate([rot.reshape(n, 9), transl], axis=1)
+    score = folding.evaluator_apply_folded(eva_folded, eva_ctx, pose)
+
+    g = Grasps(transl=transl, rot_matrix=rot, joint_conf=joints,
+               score=score, z=z)
+    if sort:
+        order = jnp.argsort(-score)
+        g = g.take(order)
+    return g
+
+
+@functools.partial(jax.jit, static_argnames=("n", "sort"))
+def score_grasps(eva_folded: dict, bps: jax.Array, rot: jax.Array,
+                 transl: jax.Array, n: int, sort: bool = False):
+    """Score externally provided grasps (reference evaluate_grasps,
+    dexgangrasp.py:367-391)."""
+    pose = jnp.concatenate([rot.reshape(n, 9), transl], axis=1)
+    ctx = folding.evaluator_object_context(eva_folded, bps)
+    score = folding.evaluator_apply_folded(eva_folded, ctx, pose)
+    if sort:
+        order = jnp.argsort(-score)
+        return score, order
+    return score
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def score_grasps_discriminator(disc_folded: dict, bps: jax.Array,
+                               rot: jax.Array, transl: jax.Array,
+                               joints: jax.Array, n: int):
+    """Discriminator-as-scorer (reference filter_grasps_discriminator,
+    dexgangrasp.py:444-493)."""
+    pose = jnp.concatenate([rot.reshape(n, 9), transl, joints], axis=1)
+    ctx = folding.discriminator_object_context(disc_folded, bps)
+    return folding.discriminator_apply_folded(disc_folded, ctx, pose)
+
+
+class GraspEngine:
+    """High-level façade bundling basis + folded networks.
+
+    Mirrors the reference ``DexGanGrasp`` wrapper inference API
+    (generate_grasps / evaluate_grasps / filter_grasps,
+    ``dexgangrasp.py:65-514``) on top of the fused program.
+    """
+
+    def __init__(self, gen_params, gen_state, eva_params, eva_state,
+                 disc_params=None, disc_state=None,
+                 basis: Optional[np.ndarray] = None,
+                 z_offset: float = DEFAULT_Z_OFFSET,
+                 cloud_pad: int = 8192):
+        self.gen_folded = folding.fold_generator(gen_params, gen_state)
+        self.eva_folded = folding.fold_evaluator(eva_params, eva_state)
+        self.disc_folded = (
+            folding.fold_discriminator(disc_params, disc_state)
+            if disc_params is not None else None)
+        self.encoder = BPSEncoder(basis=basis, cloud_pad=cloud_pad)
+        self.z_offset = z_offset
+        self._key = jax.random.PRNGKey(0)
+
+    def _next_key(self, seed: Optional[int]) -> jax.Array:
+        if seed is not None:
+            return jax.random.PRNGKey(seed)
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # ------------------------------------------------------------- encode
+
+    def encode_pcd(self, points: np.ndarray) -> jax.Array:
+        """Segmented, centered object cloud → (4096,) BPS encoding."""
+        return jnp.asarray(self.encoder.encode(points))
+
+    # ----------------------------------------------------------- generate
+
+    def generate(self, bps, n_samples: int, seed: Optional[int] = None,
+                 sample_uniform: bool = False,
+                 z_offset: Optional[float] = None) -> Grasps:
+        """Sample + score + sort n grasps for one object. Stays on device."""
+        bps = jnp.asarray(bps, jnp.float32).reshape(-1)
+        return sample_and_score(
+            self.gen_folded, self.eva_folded, bps, self._next_key(seed),
+            n_samples,
+            z_offset=self.z_offset if z_offset is None else z_offset,
+            sample_uniform=sample_uniform)
+
+    def generate_grasps(self, bps, n_samples: int, return_arr: bool = True,
+                        z_offset: Optional[float] = None,
+                        seed: Optional[int] = None):
+        """Reference-compatible API (dexgangrasp.py:495): returns a dict
+        with rot_matrix/transl/joint_conf (+score), unsorted semantics are
+        irrelevant downstream since every consumer re-sorts."""
+        g = self.generate(bps, n_samples, seed=seed, z_offset=z_offset)
+        return g.to_dict(numpy=return_arr)
+
+    # ----------------------------------------------------------- evaluate
+
+    def evaluate_grasps(self, bps, grasps, return_arr: bool = True):
+        """Score external grasps (reference dexgangrasp.py:367-391)."""
+        g = grasps if isinstance(grasps, Grasps) else Grasps.from_dict(grasps)
+        bps = jnp.asarray(bps, jnp.float32).reshape(-1)
+        score = score_grasps(self.eva_folded, bps,
+                             jnp.asarray(g.rot_matrix, jnp.float32),
+                             jnp.asarray(g.transl, jnp.float32), g.n)
+        return np.asarray(score) if return_arr else score
+
+    # ------------------------------------------------------------- filter
+
+    def filter_grasps(self, bps, grasps, thresh: float = 0.5,
+                      return_arr: bool = True, use_discriminator: bool = False):
+        """Sort grasps by score desc, keep those above ``thresh``.
+
+        Matches the reference contract (dexgangrasp.py:393-442): raises
+        ValueError when even the best grasp scores below ``thresh``.
+        The device program is static-shape (full sort); only the final
+        thresh cut happens on host.
+        """
+        g = grasps if isinstance(grasps, Grasps) else Grasps.from_dict(grasps)
+        bps_j = jnp.asarray(bps, jnp.float32).reshape(-1)
+        rot = jnp.asarray(g.rot_matrix, jnp.float32)
+        transl = jnp.asarray(g.transl, jnp.float32)
+        if use_discriminator:
+            if self.disc_folded is None:
+                raise ValueError("engine built without discriminator params")
+            score = score_grasps_discriminator(
+                self.disc_folded, bps_j, rot, transl,
+                jnp.asarray(g.joint_conf, jnp.float32), g.n)
+        else:
+            score = score_grasps(self.eva_folded, bps_j, rot, transl, g.n)
+        score = np.asarray(score)
+        order = np.argsort(-score)
+        sorted_score = score[order]
+        if sorted_score[0] < thresh:
+            raise ValueError(
+                f"In total predicted {g.n} grasps, but best score "
+                f"{sorted_score[0]:.4f} is still lower than thresh {thresh}")
+        keep = order[sorted_score > thresh]
+        out = g.take(jnp.asarray(keep))
+        out = Grasps(transl=out.transl, rot_matrix=out.rot_matrix,
+                     joint_conf=out.joint_conf,
+                     score=jnp.asarray(score[keep]), z=out.z)
+        return out.to_dict(numpy=True) if return_arr else out
+
+    # --------------------------------------------------------- full fused
+
+    def grasps_from_pcd(self, points: np.ndarray, n_samples: int,
+                        thresh: float = 0.5, seed: Optional[int] = None):
+        """Whole pipeline: raw centered cloud → filtered sorted grasps."""
+        bps = self.encode_pcd(points)
+        g = self.generate(bps, n_samples, seed=seed)
+        return self.filter_grasps(bps, g, thresh=thresh, return_arr=False)
