@@ -120,17 +120,21 @@ class DexDiscriminator:
 
     def apply(self, params: dict, state: dict, bps: jax.Array,
               rot_flat: jax.Array, transl: jax.Array, joint_conf: jax.Array,
-              train: bool = False) -> Tuple[jax.Array, dict]:
+              train: bool = False, return_logits: bool = False
+              ) -> Tuple[jax.Array, dict]:
         """rot_flat: (N, 9) row-major flattened rotation (or rot_6d padded —
         the reference feeds the generator's 6D straight in during the G step;
-        callers choose).  Returns ((N, 1) score, new_state)."""
+        callers choose).  Returns ((N, 1) score, new_state).
+
+        ``return_logits`` skips the sigmoid so training losses can use the
+        numerically stable fused sigmoid+BCE (identical math)."""
         x = jnp.concatenate([bps, rot_flat, transl, joint_conf], axis=1)
         x0, bn0_s = batchnorm_apply(params["bn0"], state["bn0"], x, train)
         x, rb1_s = resblock_apply(params["rb1"], state["rb1"], x0, train)
         x, rb2_s = resblock_apply(params["rb2"], state["rb2"],
                                   jnp.concatenate([x0, x], axis=1), train)
         score = linear_apply(params["out"], x)
-        if self.sigmoid:
+        if self.sigmoid and not return_logits:
             score = jax.nn.sigmoid(score)
         return score, {"bn0": bn0_s, "rb1": rb1_s, "rb2": rb2_s}
 
@@ -166,8 +170,8 @@ class DexEvaluator:
 
     def apply(self, params: dict, state: dict, bps: jax.Array,
               rot_flat: jax.Array, transl: jax.Array, train: bool = False,
-              dropout_key: Optional[jax.Array] = None
-              ) -> Tuple[jax.Array, dict]:
+              dropout_key: Optional[jax.Array] = None,
+              return_logits: bool = False) -> Tuple[jax.Array, dict]:
         """Returns ((N, 1) success probability, new_state)."""
         x = jnp.concatenate([bps, rot_flat, transl], axis=1)
         x0, bn1_s = batchnorm_apply(params["bn1"], state["bn1"], x, train)
@@ -183,7 +187,9 @@ class DexEvaluator:
         x, rb3_s = resblock_apply(params["rb3"], state["rb3"],
                                   jnp.concatenate([x, x0], axis=1), train)
         x = dropout(dk[2], x, DROPOUT_RATE, train)
-        p = jax.nn.sigmoid(linear_apply(params["out"], x))
+        p = linear_apply(params["out"], x)
+        if not return_logits:
+            p = jax.nn.sigmoid(p)
         return p, {"bn1": bn1_s, "rb1": rb1_s, "rb2": rb2_s, "rb3": rb3_s}
 
 

@@ -1,0 +1,145 @@
+"""Checkpoint save/load.
+
+Two formats:
+
+- **native**: a single ``.npz`` per net holding the flattened param/state/
+  optimizer pytrees plus scheduler state and epoch — fast, dependency-free,
+  resumable (replaces the reference's torch.save dicts,
+  ``dexgangrasp.py:662-712``).  File naming follows the reference:
+  ``{epoch}_gen_net.npz`` / ``{epoch}_eva_net.npz`` under a run dir.
+- **torch interop**: import the reference's legacy ``ffh*``-keyed ``.pt``
+  checkpoints / export ours to that layout (models/torch_import.py), so
+  weights flow both ways between the frameworks.
+"""
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _flatten(tree: Any, prefix: str, out: Dict[str, np.ndarray]) -> None:
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    for path, leaf in flat:
+        key = prefix + jax.tree_util.keystr(path)
+        out[key] = np.asarray(leaf)
+
+
+def save_pytrees(path: str, trees: Dict[str, Any],
+                 meta: Optional[dict] = None) -> None:
+    """Save named pytrees + JSON-able metadata into one npz.
+
+    Tree *structures* are stored via pickled treedefs; leaves as arrays.
+    """
+    arrays: Dict[str, np.ndarray] = {}
+    structs: Dict[str, bytes] = {}
+    for name, tree in trees.items():
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        structs[name] = pickle.dumps(treedef)
+        for i, leaf in enumerate(leaves):
+            arrays[f"{name}::{i}"] = np.asarray(leaf)
+    arrays["__structs__"] = np.frombuffer(
+        pickle.dumps(structs), dtype=np.uint8)
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta or {}).encode(), dtype=np.uint8)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def load_pytrees(path: str) -> Tuple[Dict[str, Any], dict]:
+    z = np.load(path, allow_pickle=False)
+    structs = pickle.loads(z["__structs__"].tobytes())
+    meta = json.loads(z["__meta__"].tobytes().decode())
+    out = {}
+    for name, treedef_b in structs.items():
+        treedef = pickle.loads(treedef_b)
+        n = treedef.num_leaves
+        leaves = [jnp.asarray(z[f"{name}::{i}"]) for i in range(n)]
+        out[name] = jax.tree_util.tree_unflatten(treedef, leaves)
+    return out, meta
+
+
+# ----------------------------------------------------------- run-dir layout
+
+
+def gen_ckpt_path(save_dir: str, epoch) -> str:
+    return os.path.join(save_dir, f"{epoch}_gen_net.npz")
+
+
+def eva_ckpt_path(save_dir: str, epoch) -> str:
+    return os.path.join(save_dir, f"{epoch}_eva_net.npz")
+
+
+def save_gan(save_dir: str, epoch, ts, scheduler_gen=None,
+             scheduler_disc=None) -> str:
+    path = gen_ckpt_path(save_dir, epoch)
+    meta = {"epoch": int(epoch) if isinstance(epoch, int) else epoch}
+    if scheduler_gen is not None:
+        meta["scheduler_gen"] = scheduler_gen.state_dict()
+    if scheduler_disc is not None:
+        meta["scheduler_disc"] = scheduler_disc.state_dict()
+    save_pytrees(path, {
+        "gen_params": ts.gen_params, "gen_state": ts.gen_state,
+        "disc_params": ts.disc_params, "disc_state": ts.disc_state,
+        "gen_opt": ts.gen_opt, "disc_opt": ts.disc_opt,
+        "step": ts.step,
+    }, meta)
+    return path
+
+
+def load_gan(path: str, ts_template=None):
+    """Returns (trees dict, meta). If ``ts_template`` given, returns a new
+    GanTrainState with loaded leaves."""
+    trees, meta = load_pytrees(path)
+    if ts_template is None:
+        return trees, meta
+    from dexgangrasp_tpu.train.gan import GanTrainState
+
+    return GanTrainState(
+        gen_params=trees["gen_params"], gen_state=trees["gen_state"],
+        disc_params=trees["disc_params"], disc_state=trees["disc_state"],
+        gen_opt=trees["gen_opt"], disc_opt=trees["disc_opt"],
+        step=trees["step"]), meta
+
+
+def save_evaluator(save_dir: str, epoch, ts, scheduler=None) -> str:
+    path = eva_ckpt_path(save_dir, epoch)
+    meta = {"epoch": int(epoch) if isinstance(epoch, int) else epoch}
+    if scheduler is not None:
+        meta["scheduler"] = scheduler.state_dict()
+    save_pytrees(path, {"params": ts.params, "state": ts.state,
+                        "opt": ts.opt, "step": ts.step}, meta)
+    return path
+
+
+def load_evaluator(path: str, as_state: bool = False):
+    trees, meta = load_pytrees(path)
+    if not as_state:
+        return trees, meta
+    from dexgangrasp_tpu.train.gan import EvaluatorTrainState
+
+    return EvaluatorTrainState(params=trees["params"], state=trees["state"],
+                               opt=trees["opt"], step=trees["step"]), meta
+
+
+def latest_epoch(save_dir: str, kind: str = "gen") -> Optional[int]:
+    """Find the newest ``{epoch}_{kind}_net.npz`` in a run dir (fixes the
+    reference's broken epoch==-1 'latest' path, dexgangrasp.py:574-577)."""
+    best = None
+    for f in os.listdir(save_dir):
+        parts = f.split("_")
+        if len(parts) >= 3 and parts[1] == kind and f.endswith(".npz"):
+            try:
+                e = int(parts[0])
+            except ValueError:
+                continue
+            best = e if best is None else max(best, e)
+    return best
