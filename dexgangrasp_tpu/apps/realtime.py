@@ -1,0 +1,200 @@
+"""Closed-loop real-robot pipeline — counterpart of
+``dexgangrasp_real_robot.py`` (and the online ``dexafford_prompt.py``
+modulo the VLPart call, which stays an injectable hook).
+
+Per frame: camera capture → ROI crop → distance removal → plane
+segmentation → base-frame z>0 crop → center → BPS encode → 400 grasps →
+filter(0.80) → top-10 → cam→base→flange pose chain with a 0.16 m
+intermediate back-off → publish.
+
+Hardware adapters (camera, robot publisher) are injected interfaces;
+RealSense/ROS implementations are provided behind optional imports so the
+pipeline is testable with fakes (the reference hardwires both).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Protocol
+
+import numpy as np
+
+from dexgangrasp_tpu.apps.segmentation import PlaneSegmentation, distance_removal
+from dexgangrasp_tpu.apps.mask_filter import sort_grasps
+
+INTER_OFFSET = np.array([0.16, 0.0, 0.0])  # reference :69
+DEFAULT_N_SAMPLES = 400                     # reference :143
+DEFAULT_THRESH = 0.80                       # reference :150
+DEFAULT_NUM_GRASPS = 10                     # reference :160
+
+
+class Camera(Protocol):
+    def capture(self) -> Dict:
+        """Returns {'color': (H,W,3), 'depth': (H,W), 'points': (H,W,3)}."""
+
+
+class GraspPublisher(Protocol):
+    def publish(self, goals: Dict) -> None: ...
+
+
+def _quat_xyzw_from_mat(R: np.ndarray) -> np.ndarray:
+    from scipy.spatial.transform import Rotation
+
+    return Rotation.from_matrix(R).as_quat()
+
+
+def hom(transl: np.ndarray, rot: np.ndarray) -> np.ndarray:
+    T = np.eye(4)
+    T[:3, :3] = rot
+    T[:3, 3] = transl
+    return T
+
+
+def grasp_to_flange_goals(transl: np.ndarray, rot: np.ndarray,
+                          pc_center: np.ndarray, base_T_cam: np.ndarray,
+                          flange_T_palm: np.ndarray,
+                          inter_offset: np.ndarray = INTER_OFFSET) -> Dict:
+    """One grasp (camera-centroid frame) → {'inter', 'pick'} flange poses in
+    the robot base frame (reference :159-196)."""
+    cam_T_palm = hom(transl + pc_center, rot)
+    base_T_palm = base_T_cam @ cam_T_palm
+    palm_T_flange = np.linalg.inv(flange_T_palm)
+    base_T_flange = base_T_palm @ palm_T_flange
+
+    base_T_palm_inter = np.eye(4)
+    base_T_palm_inter[:3, :3] = base_T_palm[:3, :3]
+    base_T_palm_inter[:3, 3] = (base_T_palm[:3, 3]
+                                - base_T_palm[:3, :3] @ inter_offset)
+    base_T_flange_inter = base_T_palm_inter @ palm_T_flange
+
+    def pose_dict(T):
+        q = _quat_xyzw_from_mat(T[:3, :3])
+        t = T[:3, 3]
+        return {"position": {"x": t[0], "y": t[1], "z": t[2]},
+                "orientation": {"x": q[0], "y": q[1], "z": q[2], "w": q[3]}}
+
+    return {"inter": pose_dict(base_T_flange_inter),
+            "pick": pose_dict(base_T_flange)}
+
+
+@dataclasses.dataclass
+class RealtimeConfig:
+    base_T_cam: np.ndarray
+    flange_T_palm: np.ndarray
+    roi_mask: Optional[np.ndarray] = None   # (H, W) bool grasp region
+    n_samples: int = DEFAULT_N_SAMPLES
+    thresh: float = DEFAULT_THRESH
+    num_grasps: int = DEFAULT_NUM_GRASPS
+    z_clip: float = 1.2
+
+
+class RealtimePipeline:
+    """engine + perception + pose chain; one ``step()`` per camera frame."""
+
+    def __init__(self, engine, cfg: RealtimeConfig,
+                 camera: Optional[Camera] = None,
+                 publisher: Optional[GraspPublisher] = None,
+                 part_ranker: Optional[Callable] = None):
+        self.engine = engine
+        self.cfg = cfg
+        self.camera = camera
+        self.publisher = publisher
+        self.part_ranker = part_ranker  # DexAfford hook: grasps→sorted idx
+        self.segment = PlaneSegmentation()
+
+    def process_cloud(self, cloud: np.ndarray,
+                      organized_shape=None) -> Dict:
+        """Segmentation chain on one cloud (organized (H,W,3) or flat
+        (N,3)); returns {'obj_points', 'pc_center', 'bps'}."""
+        cfg = self.cfg
+        if cloud.ndim == 3:
+            mask = (cfg.roi_mask if cfg.roi_mask is not None
+                    else np.ones(cloud.shape[:2], bool))
+            pts = self.segment.crop_pcd_with_bbox(cloud, mask)
+        else:
+            pts = cloud
+        pts = distance_removal(pts, 0.0, cfg.z_clip)
+        obj, _ = self.segment.plane_seg_with_angle_constrain(pts)
+        # base-frame z>0 crop (drop below-table returns, reference :121-128)
+        base_pts = (cfg.base_T_cam[:3, :3] @ obj.T).T + cfg.base_T_cam[:3, 3]
+        obj = obj[base_pts[:, 2] > 0]
+        pc_center = obj.mean(axis=0)
+        bps = self.engine.encode_pcd(obj - pc_center)
+        return {"obj_points": obj, "pc_center": pc_center,
+                "bps": np.asarray(bps)}
+
+    def step(self, cloud: Optional[np.ndarray] = None) -> Dict:
+        """One closed-loop iteration; returns the published goals."""
+        if cloud is None:
+            frame = self.camera.capture()
+            cloud = frame["points"]
+        state = self.process_cloud(cloud)
+        grasps = self.engine.generate_grasps(state["bps"],
+                                             self.cfg.n_samples)
+        if self.part_ranker is not None:
+            idx, _ = self.part_ranker(grasps, state)
+            grasps = sort_grasps(grasps, idx, 30)
+            filtered = self.engine.filter_grasps(state["bps"], grasps,
+                                                 thresh=-1.0)
+        else:
+            filtered = self.engine.filter_grasps(state["bps"], grasps,
+                                                 thresh=self.cfg.thresh)
+        k = min(self.cfg.num_grasps, filtered["rot_matrix"].shape[0])
+        goals = {}
+        for j in range(k):
+            goals[str(j)] = grasp_to_flange_goals(
+                filtered["transl"][j], filtered["rot_matrix"][j],
+                state["pc_center"], self.cfg.base_T_cam,
+                self.cfg.flange_T_palm)
+        if self.publisher is not None:
+            self.publisher.publish(goals)
+        return {"goals": goals, "filtered": filtered, **state}
+
+
+# --------------------------------------------------- hardware adapters
+
+
+class RealSenseCamera:
+    """librealsense adapter (reference inference/realsense.py:30-146):
+    1280×720 @ 15 fps, depth aligned to color, organized point cloud."""
+
+    def __init__(self, width: int = 1280, height: int = 720, fps: int = 15):
+        import pyrealsense2 as rs  # optional dep, hardware-only
+
+        self._rs = rs
+        self.pipeline = rs.pipeline()
+        cfg = rs.config()
+        cfg.enable_stream(rs.stream.depth, width, height, rs.format.z16, fps)
+        cfg.enable_stream(rs.stream.color, width, height, rs.format.bgr8, fps)
+        self.profile = self.pipeline.start(cfg)
+        self.align = rs.align(rs.stream.color)
+        self.pc = rs.pointcloud()
+        self.shape = (height, width)
+
+    def capture(self) -> Dict:
+        frames = self.align.process(self.pipeline.wait_for_frames())
+        depth = frames.get_depth_frame()
+        color = frames.get_color_frame()
+        points = self.pc.calculate(depth)
+        verts = np.asanyarray(points.get_vertices()).view(np.float32)
+        verts = verts.reshape(self.shape + (3,))
+        return {"color": np.asanyarray(color.get_data()),
+                "depth": np.asanyarray(depth.get_data()),
+                "points": verts}
+
+
+class RosGraspPublisher:
+    """rospy adapter publishing the goals dict as a string on
+    ``goal_pick_pose`` (reference :103,199 ↔ scripts/pick_place.py:54)."""
+
+    def __init__(self, topic: str = "goal_pick_pose"):
+        import rospy
+        from std_msgs.msg import String
+
+        self._rospy = rospy
+        self._String = String
+        self.pub = rospy.Publisher(topic, String, queue_size=10)
+        if not rospy.core.is_initialized():
+            rospy.init_node("pose_pub")
+
+    def publish(self, goals: Dict) -> None:
+        self.pub.publish(self._String(str(goals)))

@@ -7,3 +7,7 @@ from dexgangrasp_tpu.engine.folding import (
     evaluator_apply_folded,
 )
 from dexgangrasp_tpu.engine.pipeline import GraspEngine, sample_and_score
+from dexgangrasp_tpu.engine.refine import (
+    refine_grasps_gradient,
+    refine_grasps_sampling,
+)

@@ -1,0 +1,134 @@
+"""ctypes bindings for the native host runtime (native/dexgg_host.cpp).
+
+Each op transparently falls back to the numpy/scipy implementation in
+apps/segmentation.py / ops/bps.py when the shared library hasn't been
+built (``make -C native``), so the framework never hard-requires the
+toolchain.  The native path matters for the camera-rate closed loop
+(BASELINE config #5): ~1M-point RealSense frames per cycle.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_PATHS = [
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "native", "libdexgg_host.so"),
+    "libdexgg_host.so",
+]
+
+_lib = None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    for p in _LIB_PATHS:
+        try:
+            lib = ctypes.CDLL(p)
+        except OSError:
+            continue
+        c_f32p = ctypes.POINTER(ctypes.c_float)
+        c_u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.dexgg_bps_encode.argtypes = [c_f32p, ctypes.c_int64, c_f32p,
+                                         ctypes.c_int64, c_f32p]
+        lib.dexgg_stat_outlier_mask.argtypes = [c_f32p, ctypes.c_int64,
+                                                ctypes.c_int32,
+                                                ctypes.c_float, c_u8p]
+        lib.dexgg_ransac_plane.argtypes = [c_f32p, ctypes.c_int64,
+                                           ctypes.c_float, ctypes.c_int32,
+                                           ctypes.c_uint64, c_f32p, c_u8p]
+        lib.dexgg_box_crop_mask.argtypes = [c_f32p, ctypes.c_int64, c_f32p,
+                                            c_f32p, c_u8p]
+        _lib = lib
+        return lib
+    return None
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _fp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def bps_encode_host(basis: np.ndarray, points: np.ndarray) -> np.ndarray:
+    """(B,3) × (N,3) → (B,) min distances on the host CPU."""
+    lib = _load()
+    basis = np.ascontiguousarray(basis, np.float32)
+    points = np.ascontiguousarray(points, np.float32)
+    if lib is None:
+        d2 = None
+        best = np.full(basis.shape[0], np.inf, np.float64)
+        for s in range(0, points.shape[0], 8192):
+            c = points[s:s + 8192]
+            dd = ((basis[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            best = np.minimum(best, dd.min(1))
+        return np.sqrt(best).astype(np.float32)
+    out = np.empty(basis.shape[0], np.float32)
+    lib.dexgg_bps_encode(_fp(basis), basis.shape[0], _fp(points),
+                         points.shape[0], _fp(out))
+    return out
+
+
+def statistical_outlier_mask(points: np.ndarray, nb_neighbors: int = 20,
+                             std_ratio: float = 2.0) -> np.ndarray:
+    """(N,3) → bool keep mask (open3d remove_statistical_outlier
+    semantics)."""
+    lib = _load()
+    points = np.ascontiguousarray(points, np.float32)
+    if lib is None:
+        from dexgangrasp_tpu.apps.segmentation import (
+            statistical_outlier_removal,
+        )
+
+        _, idx = statistical_outlier_removal(points, nb_neighbors, std_ratio)
+        mask = np.zeros(points.shape[0], bool)
+        mask[idx] = True
+        return mask
+    mask = np.empty(points.shape[0], np.uint8)
+    lib.dexgg_stat_outlier_mask(_fp(points), points.shape[0], nb_neighbors,
+                                std_ratio, _u8p(mask))
+    return mask.astype(bool)
+
+
+def ransac_plane(points: np.ndarray, dist_thresh: float = 0.01,
+                 iterations: int = 1000, seed: int = 0
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """(N,3) → (plane [a,b,c,d], bool inlier mask)."""
+    lib = _load()
+    points = np.ascontiguousarray(points, np.float32)
+    if lib is None:
+        from dexgangrasp_tpu.apps.segmentation import fit_plane_ransac
+
+        plane, mask = fit_plane_ransac(
+            points, dist_thresh, iterations,
+            rng=np.random.default_rng(seed))
+        return plane.astype(np.float32), mask
+    plane = np.empty(4, np.float32)
+    mask = np.empty(points.shape[0], np.uint8)
+    lib.dexgg_ransac_plane(_fp(points), points.shape[0], dist_thresh,
+                           iterations, seed, _fp(plane), _u8p(mask))
+    return plane, mask.astype(bool)
+
+
+def box_crop_mask(points: np.ndarray, lo, hi) -> np.ndarray:
+    lib = _load()
+    points = np.ascontiguousarray(points, np.float32)
+    lo = np.ascontiguousarray(lo, np.float32)
+    hi = np.ascontiguousarray(hi, np.float32)
+    if lib is None:
+        return ((points >= lo) & (points <= hi)).all(axis=1)
+    mask = np.empty(points.shape[0], np.uint8)
+    lib.dexgg_box_crop_mask(_fp(points), points.shape[0], _fp(lo), _fp(hi),
+                            _u8p(mask))
+    return mask.astype(bool)

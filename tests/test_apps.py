@@ -1,0 +1,246 @@
+"""App-layer tests: segmentation, mask ranking, offline pipeline on the
+real reference scans, affordance replay, realtime pipeline with fakes,
+pick-place state machine, refinement, visualization."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dexgangrasp_tpu.apps.mask_filter import (
+    filter_grasps_given_mask_offline,
+    part_points_from_mask,
+    rank_grasps_by_part,
+    sort_grasps,
+)
+from dexgangrasp_tpu.apps.offline import eval_sampling_and_filtering_real, filter_stages
+from dexgangrasp_tpu.apps.pick_place import RobotControl, pose_distance
+from dexgangrasp_tpu.apps.realtime import (
+    RealtimeConfig,
+    RealtimePipeline,
+    grasp_to_flange_goals,
+)
+from dexgangrasp_tpu.apps.segmentation import (
+    PlaneSegmentation,
+    fit_plane_ransac,
+    statistical_outlier_removal,
+)
+from dexgangrasp_tpu.engine.pipeline import GraspEngine
+from dexgangrasp_tpu.engine.refine import (
+    refine_grasps_gradient,
+    refine_grasps_sampling,
+)
+from dexgangrasp_tpu.models.networks import init_dexgan, init_evaluator
+
+rng = np.random.default_rng(51)
+
+
+@pytest.fixture(scope="module")
+def engine(basis):
+    (_, gp, gs), (_, dp, ds) = init_dexgan(jax.random.PRNGKey(0))
+    _, ep, es = init_evaluator(jax.random.PRNGKey(1))
+    return GraspEngine(gp, gs, ep, es, disc_params=dp, disc_state=ds,
+                       basis=basis, cloud_pad=2048)
+
+
+def test_plane_ransac():
+    # plane z=0.5 plus an object blob above it
+    plane_pts = np.concatenate(
+        [rng.uniform(-0.3, 0.3, (2000, 2)),
+         0.5 + rng.normal(size=(2000, 1)) * 0.002], axis=1)
+    obj_pts = rng.normal(size=(300, 3)) * 0.03 + np.array([0, 0, 0.4])
+    pts = np.concatenate([plane_pts, obj_pts])
+    plane, inliers = fit_plane_ransac(pts)
+    # normal along z, |d| ≈ 0.5
+    assert abs(abs(plane[2]) - 1.0) < 0.02
+    assert abs(abs(plane[3]) - 0.5) < 0.01
+    assert inliers[:2000].mean() > 0.97
+    assert inliers[2000:].mean() < 0.05
+    seg = PlaneSegmentation()
+    obj, normal = seg.plane_seg_with_angle_constrain(pts)
+    assert 250 <= obj.shape[0] <= 400
+
+
+def test_statistical_outlier_removal():
+    pts = rng.normal(size=(500, 3)) * 0.05
+    outliers = rng.normal(size=(10, 3)) * 0.05 + 5.0
+    allp = np.concatenate([pts, outliers])
+    kept, idx = statistical_outlier_removal(allp)
+    assert (idx < 500).all()  # far blob removed
+    assert kept.shape[0] >= 450
+
+
+def test_mask_ranking():
+    grasps = {"transl": rng.normal(size=(50, 3)) * 0.1,
+              "rot_matrix": np.tile(np.eye(3), (50, 1, 1)),
+              "joint_conf": rng.uniform(size=(50, 12))}
+    part = rng.normal(size=(100, 3)) * 0.01 + np.array([0.05, 0, 0])
+    idx, centroid = rank_grasps_by_part(grasps, part)
+    d = np.linalg.norm(grasps["transl"] - centroid, axis=1)
+    assert (np.diff(d[idx]) >= -1e-12).all()
+    top = sort_grasps(grasps, idx, 10)
+    assert top["transl"].shape == (10, 3)
+    # offline variant applies the ±0.2 m clip and centering
+    idx2, c2 = filter_grasps_given_mask_offline(
+        grasps, part + 1.0, np.array([1.0, 1.0, 1.0]))
+    assert len(idx2) == 50
+
+
+def test_part_points_from_mask():
+    cloud = rng.normal(size=(8, 10, 3)) * 0.05
+    mask = np.zeros((8, 10), bool)
+    mask[2:4, 3:6] = True
+    part = part_points_from_mask(cloud.reshape(-1, 3), mask, (8, 10, 3),
+                                 np.zeros(3))
+    assert part.shape[0] <= 6  # 6 masked pixels, some maybe clipped
+
+
+def test_offline_app_on_real_scans(engine, real_objects_dir):
+    """The canonical offline flow on the shipped real scans: untrained nets
+    → scores cluster near 0.5, so use permissive thresholds."""
+    results = eval_sampling_and_filtering_real(
+        engine, real_objects_dir, n_samples=64,
+        thresh_succ_list=[0.0, 0.1, 0.2], seed=0)
+    assert len(results) == 7
+    for obj, r in results.items():
+        assert r["grasps"]["rot_matrix"].shape == (64, 3, 3)
+
+
+def test_filter_stages_progressive(engine, basis):
+    bps = rng.uniform(0, 0.2, 4096).astype(np.float32)
+    grasps = engine.generate_grasps(bps, 128, seed=1)
+    med = float(np.median(grasps["score"]))
+    out = filter_stages(engine, bps, grasps, 128,
+                        thresh_succ_list=[med - 0.01, med], verbose=False)
+    assert out["rot_matrix"].shape[0] == int((grasps["score"] > med).sum())
+
+
+def test_realtime_pipeline_with_fakes(engine):
+    # synthetic organized frame: table plane + box object
+    H, W = 60, 80
+    xs, ys = np.meshgrid(np.linspace(-0.4, 0.4, W),
+                         np.linspace(-0.3, 0.3, H))
+    depth = np.full((H, W), 0.8)
+    cloud = np.stack([xs, ys, depth], axis=-1)
+    # object bump in the middle
+    cloud[20:40, 30:50, 2] -= 0.08 + 0.02 * rng.random((20, 20))
+    base_T_cam = np.eye(4)
+    base_T_cam[:3, 3] = [0, 0, 1.5]
+    base_T_cam[:3, :3] = np.diag([1, -1, -1])  # camera looks down
+    cfg = RealtimeConfig(base_T_cam=base_T_cam,
+                         flange_T_palm=np.eye(4), n_samples=64,
+                         thresh=-1.0, num_grasps=5)
+
+    published = {}
+
+    class FakePub:
+        def publish(self, goals):
+            published.update(goals)
+
+    pipe = RealtimePipeline(engine, cfg, publisher=FakePub())
+    out = pipe.step(cloud=cloud.reshape(H, W, 3))
+    assert len(out["goals"]) == 5
+    assert published  # publisher invoked
+    g0 = out["goals"]["0"]
+    assert set(g0) == {"inter", "pick"}
+    # inter pose backs off 0.16 m from pick along palm x
+    p_pick = np.array([g0["pick"]["position"][k] for k in "xyz"])
+    p_inter = np.array([g0["inter"]["position"][k] for k in "xyz"])
+    assert 0.0 < np.linalg.norm(p_pick - p_inter) < 0.17
+
+
+def test_grasp_to_flange_goals_geometry():
+    R = np.eye(3)
+    goals = grasp_to_flange_goals(np.array([0.1, 0, 0.5]), R,
+                                  np.zeros(3), np.eye(4), np.eye(4))
+    p_pick = np.array([goals["pick"]["position"][k] for k in "xyz"])
+    p_inter = np.array([goals["inter"]["position"][k] for k in "xyz"])
+    np.testing.assert_allclose(p_pick - p_inter, [0.16, 0, 0], atol=1e-12)
+
+
+def test_pick_place_state_machine():
+    calls = []
+
+    class FakeArm:
+        def __init__(self):
+            self.pose = {"position": {"x": 0, "y": 0, "z": 0},
+                         "orientation": {"x": 0, "y": 0, "z": 0, "w": 1}}
+
+        def move_to(self, pose):
+            calls.append(("move", pose))
+            self.pose = pose
+
+        def current_pose(self):
+            return self.pose
+
+    class FakeGripper:
+        def open(self):
+            calls.append(("open",))
+
+        def close(self):
+            calls.append(("close",))
+
+    home = {"position": {"x": 0, "y": 0, "z": 0.5},
+            "orientation": {"x": 0, "y": 0, "z": 0, "w": 1}}
+    place = {"position": {"x": 0.3, "y": 0.3, "z": 0.3},
+             "orientation": {"x": 0, "y": 0, "z": 0, "w": 1}}
+    rc = RobotControl(FakeArm(), FakeGripper(), home, place, settle_s=0.0)
+    goals = {"0": {
+        "inter": {"position": {"x": 0.1, "y": 0, "z": 0.4},
+                  "orientation": {"x": 0, "y": 0, "z": 0, "w": 1}},
+        "pick": {"position": {"x": 0.1, "y": 0, "z": 0.3},
+                 "orientation": {"x": 0, "y": 0, "z": 0, "w": 1}},
+    }}
+    assert rc.on_goal_message(str(goals))
+    kinds = [c[0] for c in calls]
+    assert kinds == ["open", "move", "move", "move", "close", "move",
+                     "move", "open", "move"]
+
+
+def test_refinement_gradient_improves(engine, basis):
+    bps = jnp.asarray(rng.uniform(0, 0.2, 4096).astype(np.float32))
+    g = engine.generate(np.asarray(bps), 32, seed=0)
+    rot, transl, joints, traj = refine_grasps_gradient(
+        engine.eva_folded, bps, g.rot_matrix, g.transl, g.joint_conf,
+        num_steps=5)
+    traj = np.asarray(traj)
+    assert traj.shape == (6, 32)
+    # gradient ascent must not reduce the mean success materially
+    assert traj[-1].mean() >= traj[0].mean() - 1e-3
+    # translation moved ≤ 1 cm per step
+    assert np.linalg.norm(np.asarray(transl) - np.asarray(g.transl),
+                          axis=1).max() <= 0.05 + 1e-6
+
+
+def test_refinement_sampling_monotone(engine, basis):
+    bps = jnp.asarray(rng.uniform(0, 0.2, 4096).astype(np.float32))
+    g = engine.generate(np.asarray(bps), 16, seed=0)
+    rot, transl, joints, traj = refine_grasps_sampling(
+        engine.eva_folded, bps, g.rot_matrix, g.transl, g.joint_conf,
+        jax.random.PRNGKey(0), num_steps=5)
+    assert np.asarray(traj).shape == (6, 16)
+    assert np.isfinite(np.asarray(traj)).all()
+
+
+def test_visualization_smoke(tmp_path, engine, real_objects_dir):
+    from dexgangrasp_tpu.utils import visualization as viz
+
+    pcd = os.path.join(real_objects_dir, "object", "red_mug.pcd")
+    bps = np.load(os.path.join(real_objects_dir, "bps", "red_mug.npy")).ravel()
+    grasps = engine.generate_grasps(bps, 16, seed=0)
+    p1 = viz.show_generated_grasp_distribution(
+        pcd, grasps, save_path=str(tmp_path / "dist.png"))
+    assert os.path.isfile(p1)
+    p2 = viz.show_grasp_and_object(
+        pcd, grasps["transl"][0], grasps["rot_matrix"][0],
+        grasps["joint_conf"][0], save_path=str(tmp_path / "one.png"))
+    assert os.path.isfile(p2)
+    p3 = viz.plot_confusion_matrix(
+        np.array([0, 1, 1, 0]), np.array([0, 1, 0, 0]),
+        save_path=str(tmp_path / "cm.png"))
+    assert os.path.isfile(p3)
+    p4 = viz.show_refinement_trajectory(
+        rng.random((6, 8)), save_path=str(tmp_path / "ref.png"))
+    assert os.path.isfile(p4)

@@ -1,0 +1,73 @@
+"""Native host-runtime tests: the C++ ops must agree with the numpy
+references (and with the golden BPS fixtures)."""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from dexgangrasp_tpu import native
+
+rng = np.random.default_rng(61)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built_lib():
+    """Build the native lib if the toolchain is present."""
+    so = os.path.join(REPO, "native", "libdexgg_host.so")
+    if not os.path.isfile(so):
+        try:
+            subprocess.run(["make", "-C", os.path.join(REPO, "native")],
+                           check=True, capture_output=True)
+        except Exception:
+            pytest.skip("no C++ toolchain")
+    native._lib = None  # force re-probe
+    assert native.available()
+
+
+def test_native_bps_matches_golden(basis, real_objects_dir):
+    from dexgangrasp_tpu.utils.pcd import load_pcd
+
+    pts = load_pcd(os.path.join(real_objects_dir, "object", "red_mug.pcd"))
+    golden = np.load(os.path.join(real_objects_dir, "bps",
+                                  "red_mug.npy")).ravel()
+    enc = native.bps_encode_host(basis, pts)
+    np.testing.assert_allclose(enc, golden, atol=2e-6)
+
+
+def test_native_outlier_mask_matches_scipy():
+    pts = np.concatenate([rng.normal(size=(800, 3)).astype(np.float32) * 0.05,
+                          (rng.normal(size=(8, 3)) * 0.05 + 4.0).astype(np.float32)])
+    mask = native.statistical_outlier_mask(pts, 20, 2.0)
+    # far blob must be dropped, bulk kept
+    assert not mask[800:].any()
+    assert mask[:800].mean() > 0.9
+    # agreement with the scipy fallback on the kept set (kNN ties can
+    # differ slightly at the threshold)
+    from dexgangrasp_tpu.apps.segmentation import statistical_outlier_removal
+
+    _, idx = statistical_outlier_removal(pts, 20, 2.0)
+    ref_mask = np.zeros(pts.shape[0], bool)
+    ref_mask[idx] = True
+    assert (mask == ref_mask).mean() > 0.97
+
+
+def test_native_ransac_plane():
+    plane_pts = np.concatenate(
+        [rng.uniform(-0.3, 0.3, (3000, 2)),
+         0.4 + rng.normal(size=(3000, 1)) * 0.002], axis=1).astype(np.float32)
+    obj = (rng.normal(size=(200, 3)) * 0.02 + [0, 0, 0.3]).astype(np.float32)
+    pts = np.concatenate([plane_pts, obj])
+    plane, mask = native.ransac_plane(pts, 0.01, 500, seed=1)
+    assert abs(abs(plane[2]) - 1.0) < 0.02
+    assert mask[:3000].mean() > 0.97
+    assert mask[3000:].mean() < 0.05
+
+
+def test_native_box_crop():
+    pts = rng.uniform(-1, 1, (1000, 3)).astype(np.float32)
+    mask = native.box_crop_mask(pts, [-0.2] * 3, [0.2] * 3)
+    ref = (np.abs(pts) <= 0.2).all(axis=1)
+    np.testing.assert_array_equal(mask, ref)
