@@ -80,8 +80,18 @@ def main():
     ap.add_argument("--discriminator", action="store_true")
     ap.add_argument("--z-offset", type=float, default=0.025)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--sweep-dir", default=None,
+                    help="run-dir of checkpoints: evaluate every saved epoch "
+                         "and write <sweep-dir>_metrics.csv (reference "
+                         "eval.py:407-426)")
     args = ap.parse_args()
 
+    if args.sweep_dir:
+        return sweep(args)
+    return _run_single(args)
+
+
+def _run_single(args):
     from dexgangrasp_tpu.data.datasets import DexGeneratorDataSet
     from dexgangrasp_tpu.eval.magd import magd_for_grasp_distribution
 
@@ -134,12 +144,45 @@ def main():
         sums["coverage"] += cov
 
     n = len(unique_bps)
+    sums["n"] = n
     print("transl_loss_sum:", sums["transl"])
     print("rot_loss_sum:", sums["rot"])
     print("joint_loss_sum:", sums["joint"])
     print("coverage", sums["coverage"] / n)
     print(f"invalid output is: {num_nan}/{n}")
     return sums
+
+
+def sweep(args):
+    """Multi-epoch CSV sweep (reference eval.py:407-426): re-run the MAGD
+    protocol for every ``{epoch}_gen_net.npz`` in a run dir."""
+    import csv
+    import glob
+    import sys
+
+    epochs = sorted(
+        int(os.path.basename(p).split("_")[0])
+        for p in glob.glob(os.path.join(args.sweep_dir, "*_gen_net.npz")))
+    eva_epochs = sorted(
+        int(os.path.basename(p).split("_")[0])
+        for p in glob.glob(os.path.join(args.sweep_dir, "*_eva_net.npz")))
+    eva_path = (os.path.join(args.sweep_dir, f"{eva_epochs[-1]}_eva_net.npz")
+                if eva_epochs else None)
+    out_csv = args.sweep_dir.rstrip("/") + "_metrics.csv"
+    with open(out_csv, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["epoch", "transl_loss_sum", "rot_loss_sum",
+                    "joint_loss_sum", "coverage_mean"])
+        for epoch in epochs:
+            print("Evaluating epoch:", epoch)
+            sub = argparse.Namespace(**vars(args))
+            sub.gen = os.path.join(args.sweep_dir, f"{epoch}_gen_net.npz")
+            sub.eva = eva_path
+            sub.sweep_dir = None
+            sums = _run_single(sub)
+            w.writerow([epoch, sums["transl"], sums["rot"], sums["joint"],
+                        sums["coverage"] / max(sums["n"], 1)])
+    print("wrote", out_csv)
 
 
 if __name__ == "__main__":
