@@ -19,6 +19,15 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compilation cache: first-compile of the fused program is
+    # expensive on a fresh process; cache it across bench runs
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/dexgg_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from dexgangrasp_tpu.engine import folding

@@ -6,7 +6,12 @@ from dexgangrasp_tpu.engine.folding import (
     generator_apply_folded,
     evaluator_apply_folded,
 )
-from dexgangrasp_tpu.engine.pipeline import GraspEngine, sample_and_score
+from dexgangrasp_tpu.engine.pipeline import (
+    GraspEngine,
+    sample_and_score,
+    sample_and_topk,
+    sample_and_topk_multi,
+)
 from dexgangrasp_tpu.engine.refine import (
     refine_grasps_gradient,
     refine_grasps_sampling,

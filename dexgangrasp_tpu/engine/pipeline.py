@@ -77,6 +77,50 @@ def sample_and_score(gen_folded: dict, eva_folded: dict, bps: jax.Array,
     return g
 
 
+@functools.partial(jax.jit, static_argnames=("n", "top_k", "exact",
+                                             "sample_uniform"))
+def sample_and_topk(gen_folded: dict, eva_folded: dict, bps: jax.Array,
+                    key: jax.Array, n: int, top_k: int,
+                    z_offset: float = DEFAULT_Z_OFFSET,
+                    exact: bool = False,
+                    sample_uniform: bool = False) -> Grasps:
+    """Serving variant: sample+score n grasps, return only the best
+    ``top_k`` (sorted desc).
+
+    Uses the TPU-native ``lax.approx_max_k`` (recall ≈ 0.95) by default —
+    the exact full sort is the single most expensive op in the fused
+    program at large n (bitonic sort ≫ the folded MLP compute); every
+    consumer in the reference takes a top-k slice afterwards anyway
+    (top-10 live, ``dexgangrasp_real_robot.py:160``; top-30 afford,
+    ``dexafford_prompt.py:192``).  Set ``exact=True`` for strict ordering.
+    """
+    g = sample_and_score(gen_folded, eva_folded, bps, key, n,
+                         z_offset=z_offset, sample_uniform=sample_uniform,
+                         sort=False)
+    if exact:
+        _, order = jax.lax.top_k(g.score, top_k)
+    else:
+        _, order = jax.lax.approx_max_k(g.score, top_k)
+    return g.take(order)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "top_k", "exact"))
+def sample_and_topk_multi(gen_folded: dict, eva_folded: dict,
+                          bps_batch: jax.Array, key: jax.Array, n: int,
+                          top_k: int, z_offset: float = DEFAULT_Z_OFFSET,
+                          exact: bool = False) -> Grasps:
+    """Multi-object batched engine: (O, 4096) BPS rows → Grasps with
+    leading (O, top_k) axes.  One compiled program serves a whole scene /
+    eval sweep; the object contexts batch through the same matmuls."""
+    keys = jax.random.split(key, bps_batch.shape[0])
+
+    def per_object(bps, k):
+        return sample_and_topk(gen_folded, eva_folded, bps, k, n, top_k,
+                               z_offset=z_offset, exact=exact)
+
+    return jax.vmap(per_object)(bps_batch, keys)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "sort"))
 def score_grasps(eva_folded: dict, bps: jax.Array, rot: jax.Array,
                  transl: jax.Array, n: int, sort: bool = False):
@@ -148,6 +192,15 @@ class GraspEngine:
             n_samples,
             z_offset=self.z_offset if z_offset is None else z_offset,
             sample_uniform=sample_uniform)
+
+    def generate_topk(self, bps, n_samples: int, top_k: int,
+                      seed: Optional[int] = None,
+                      exact: bool = False) -> Grasps:
+        """Serving path: sample n, return best top_k (approx by default)."""
+        bps = jnp.asarray(bps, jnp.float32).reshape(-1)
+        return sample_and_topk(self.gen_folded, self.eva_folded, bps,
+                               self._next_key(seed), n_samples, top_k,
+                               z_offset=self.z_offset, exact=exact)
 
     def generate_grasps(self, bps, n_samples: int, return_arr: bool = True,
                         z_offset: Optional[float] = None,
