@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Secondary benchmark: camera-rate closed loop (BASELINE config #5).
+
+Simulated RealSense frame (720×1280 organized cloud) → ROI crop →
+statistical outlier removal → RANSAC plane seg → center → BPS encode →
+sample 10k grasps → score → top-10 — the full per-frame pipeline.  Reports
+frames/sec (camera budget: 15 fps) and the stage breakdown.
+
+Not the driver metric (see bench.py); run manually for the serving story.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def make_frame(rng, H=720, W=1280):
+    xs, ys = np.meshgrid(np.linspace(-0.5, 0.5, W), np.linspace(-0.4, 0.4, H))
+    depth = np.full((H, W), 0.9, np.float32)
+    cloud = np.stack([xs, ys, depth], axis=-1).astype(np.float32)
+    cloud[300:480, 500:700, 2] -= (0.10 + 0.03
+                                   * rng.random((180, 200))).astype(np.float32)
+    cloud += rng.normal(size=cloud.shape).astype(np.float32) * 0.001
+    return cloud
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/dexgg_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    from dexgangrasp_tpu import native
+    from dexgangrasp_tpu.apps.realtime import RealtimeConfig, RealtimePipeline
+    from dexgangrasp_tpu.engine.pipeline import GraspEngine
+    from dexgangrasp_tpu.models.networks import init_dexgan, init_evaluator
+    from dexgangrasp_tpu.utils.timing import StageTimer
+
+    (_, gp, gs), _ = init_dexgan(jax.random.PRNGKey(0))
+    _, ep, es = init_evaluator(jax.random.PRNGKey(1))
+    engine = GraspEngine(gp, gs, ep, es, cloud_pad=16384)
+
+    rng = np.random.default_rng(0)
+    frame = make_frame(rng)
+    roi = np.zeros(frame.shape[:2], bool)
+    roi[200:630, 400:900] = True
+    base_T_cam = np.eye(4)
+    base_T_cam[:3, :3] = np.diag([1, -1, -1])
+    base_T_cam[:3, 3] = [0, 0, 1.5]
+    n_samples, top_k = 10000, 10
+
+    timer = StageTimer()
+    use_native = native.available()
+
+    def one_frame(seed):
+        with timer.stage("crop+outlier"):
+            pts = frame[roi]
+            if use_native:
+                pts = pts[native.statistical_outlier_mask(pts, 20, 2.0)]
+        with timer.stage("plane_seg"):
+            if use_native:
+                _, inl = native.ransac_plane(pts, 0.01, 300, seed=seed)
+                obj = pts[~inl]
+            else:
+                from dexgangrasp_tpu.apps.segmentation import fit_plane_ransac
+
+                _, inl = fit_plane_ransac(pts, num_iterations=300)
+                obj = pts[~inl]
+        with timer.stage("center+encode"):
+            center = obj.mean(axis=0)
+            bps = timer.observe(engine.encode_pcd(obj - center))
+        with timer.stage("sample+score+topk"):
+            g = engine.generate_topk(np.asarray(bps), n_samples, top_k,
+                                     seed=seed)
+            timer.observe(g.score)
+        return g
+
+    one_frame(0)  # warmup/compile
+    timer.totals.clear()
+    timer.counts.clear()
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        one_frame(i + 1)
+    dt = (time.perf_counter() - t0) / iters
+    print(timer.report())
+    print(json.dumps({"metric": "closed_loop_fps", "value": round(1 / dt, 2),
+                      "unit": "frames/s", "vs_baseline": round(1 / dt / 15, 3),
+                      "native_host_ops": use_native}))
+
+
+if __name__ == "__main__":
+    main()
