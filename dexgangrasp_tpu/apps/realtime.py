@@ -122,6 +122,52 @@ class RealtimePipeline:
         return {"obj_points": obj, "pc_center": pc_center,
                 "bps": np.asarray(bps)}
 
+    def step_fused(self, cloud: Optional[np.ndarray] = None,
+                   pad_n: int = 16384, voxel: float = 0.004,
+                   seed: int = 0) -> Dict:
+        """Closed-loop iteration through the single fused device program
+        (engine/frame_pipeline.py): host does ROI crop + voxel decimation,
+        the device does segmentation→encode→sample→score→top-k in one jit.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from dexgangrasp_tpu import native
+        from dexgangrasp_tpu.engine.frame_pipeline import frame_to_grasps
+        from dexgangrasp_tpu.ops.bps import pad_cloud
+
+        cfg = self.cfg
+        if cloud is None:
+            cloud = self.camera.capture()["points"]
+        if cloud.ndim == 3:
+            mask = (cfg.roi_mask if cfg.roi_mask is not None
+                    else np.ones(cloud.shape[:2], bool))
+            pts = cloud[mask]
+            pts = pts[np.isfinite(pts).all(axis=1)]
+        else:
+            pts = cloud
+        pts = pts[(pts[:, 2] > 0) & (pts[:, 2] < cfg.z_clip)]
+        pts = native.voxel_downsample(pts, voxel)
+        n_valid = min(pts.shape[0], pad_n)
+        padded = pad_cloud(pts, pad_n)
+        g, center, n_obj = frame_to_grasps(
+            self.engine.gen_folded, self.engine.eva_folded,
+            self.engine.encoder.basis, jnp.asarray(padded),
+            jnp.asarray(n_valid), jax.random.PRNGKey(seed),
+            n_samples=cfg.n_samples, top_k=cfg.num_grasps,
+            z_offset=self.engine.z_offset)
+        filtered = g.to_dict(numpy=True)
+        pc_center = np.asarray(center)
+        goals = {}
+        for j in range(cfg.num_grasps):
+            goals[str(j)] = grasp_to_flange_goals(
+                filtered["transl"][j], filtered["rot_matrix"][j],
+                pc_center, cfg.base_T_cam, cfg.flange_T_palm)
+        if self.publisher is not None:
+            self.publisher.publish(goals)
+        return {"goals": goals, "filtered": filtered,
+                "pc_center": pc_center, "n_obj": int(n_obj)}
+
     def step(self, cloud: Optional[np.ndarray] = None) -> Dict:
         """One closed-loop iteration; returns the published goals."""
         if cloud is None:

@@ -16,3 +16,4 @@ from dexgangrasp_tpu.engine.refine import (
     refine_grasps_gradient,
     refine_grasps_sampling,
 )
+from dexgangrasp_tpu.engine.frame_pipeline import frame_to_grasps

@@ -1,0 +1,72 @@
+"""The fully-fused frame→grasps program (closed-loop flagship).
+
+One jitted XLA program takes a padded camera-frame cloud and returns the
+top-k scored grasps:
+
+  outlier removal (device kNN) → RANSAC plane removal → object centering
+  → BPS encoding → object-context folding → sample N latents → generator
+  → rot6d→matrix → palm back-off → evaluator → approx top-k
+
+The reference executes this as ≥6 host stages with open3d/CUDA round trips
+per frame (``dexgangrasp_real_robot.py:110-160``); here the host only ROI-
+crops + voxel-decimates (native/dexgg_host.cpp) and feeds one device call.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dexgangrasp_tpu.core.grasp import Grasps
+from dexgangrasp_tpu.core.rotations import rot_matrix_from_ortho6d
+from dexgangrasp_tpu.core.transforms import translate_along_axis
+from dexgangrasp_tpu.engine import folding
+from dexgangrasp_tpu.ops.bps import PAD_VALUE, bps_encode_xla
+from dexgangrasp_tpu.ops.perception import segment_object_device
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples", "top_k",
+                                             "ransac_iters", "knn_k",
+                                             "outlier_method"))
+def frame_to_grasps(gen_folded: dict, eva_folded: dict, basis: jax.Array,
+                    points: jax.Array, n_valid: jax.Array, key: jax.Array,
+                    n_samples: int = 10000, top_k: int = 10,
+                    z_offset: float = 0.025,
+                    knn_k: int = 20, std_ratio: float = 2.0,
+                    plane_thresh: float = 0.01, ransac_iters: int = 1024,
+                    outlier_method: str = "radius"
+                    ) -> Tuple[Grasps, jax.Array, jax.Array]:
+    """padded (N, 3) cloud + n_valid → (top-k Grasps in the *centroid*
+    frame, pc_center (3,), n_object_points).
+
+    Grasp translations are relative to the object centroid (add pc_center
+    to go back to the camera frame, as the apps do)."""
+    k_seg, k_z = jax.random.split(key)
+    obj_mask = segment_object_device(points, n_valid, k_seg, k=knn_k,
+                                     std_ratio=std_ratio,
+                                     dist_thresh=plane_thresh,
+                                     iterations=ransac_iters,
+                                     method=outlier_method)
+    n_obj = jnp.sum(obj_mask)
+    denom = jnp.maximum(n_obj.astype(points.dtype), 1.0)
+    center = jnp.sum(jnp.where(obj_mask[:, None], points, 0.0),
+                     axis=0) / denom
+    centered = jnp.where(obj_mask[:, None], points - center, PAD_VALUE)
+
+    bps = bps_encode_xla(basis, centered)
+
+    z = jax.random.normal(k_z, (n_samples, gen_folded["rb1"]["w1_z"].shape[0]),
+                          points.dtype)
+    gctx = folding.generator_object_context(gen_folded, bps)
+    ectx = folding.evaluator_object_context(eva_folded, bps)
+    rot6, transl, joints = folding.generator_apply_folded(gen_folded, gctx, z)
+    rot = rot_matrix_from_ortho6d(rot6)
+    transl = translate_along_axis(transl, rot, 0, z_offset)
+    pose = jnp.concatenate([rot.reshape(n_samples, 9), transl], axis=1)
+    score = folding.evaluator_apply_folded(eva_folded, ectx, pose)
+    _, order = jax.lax.approx_max_k(score, top_k)
+    g = Grasps(transl=transl, rot_matrix=rot, joint_conf=joints,
+               score=score, z=z).take(order)
+    return g, center, n_obj

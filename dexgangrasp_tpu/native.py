@@ -44,6 +44,10 @@ def _load() -> Optional[ctypes.CDLL]:
                                            ctypes.c_uint64, c_f32p, c_u8p]
         lib.dexgg_box_crop_mask.argtypes = [c_f32p, ctypes.c_int64, c_f32p,
                                             c_f32p, c_u8p]
+        lib.dexgg_voxel_downsample.argtypes = [c_f32p, ctypes.c_int64,
+                                               ctypes.c_float, c_f32p,
+                                               ctypes.c_int64]
+        lib.dexgg_voxel_downsample.restype = ctypes.c_int64
         _lib = lib
         return lib
     return None
@@ -119,6 +123,24 @@ def ransac_plane(points: np.ndarray, dist_thresh: float = 0.01,
     lib.dexgg_ransac_plane(_fp(points), points.shape[0], dist_thresh,
                            iterations, seed, _fp(plane), _u8p(mask))
     return plane, mask.astype(bool)
+
+
+def voxel_downsample(points: np.ndarray, voxel: float) -> np.ndarray:
+    """Keep one point per voxel (first encountered).  The cheap host-side
+    decimation in front of the on-device segmentation ops
+    (ops/perception.py)."""
+    points = np.ascontiguousarray(points, np.float32)
+    lib = _load()
+    if lib is None:
+        minv = points.min(axis=0)
+        keys = np.floor((points - minv) / voxel).astype(np.int64)
+        packed = (keys[:, 0] << 42) | (keys[:, 1] << 21) | keys[:, 2]
+        _, first = np.unique(packed, return_index=True)
+        return points[np.sort(first)]
+    out = np.empty_like(points)
+    n = lib.dexgg_voxel_downsample(_fp(points), points.shape[0], voxel,
+                                   _fp(out), points.shape[0])
+    return out[:n].copy()
 
 
 def box_crop_mask(points: np.ndarray, lo, hi) -> np.ndarray:

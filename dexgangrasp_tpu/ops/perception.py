@@ -1,0 +1,188 @@
+"""On-device perception ops — outlier removal and plane RANSAC as XLA
+programs.
+
+TPU-first redesign of the reference's host-side open3d perception
+(``inference/segmentation.py``): after a cheap host voxel-downsample
+(native/dexgg_host.cpp or numpy), the segmentation geometry runs on the
+accelerator as dense batched linear algebra, so the whole camera frame →
+grasp pipeline is two device programs instead of seconds of host kNN:
+
+- ``knn_mean_dist``: mean distance to the k nearest neighbors for every
+  point, via blocked pairwise distance + top-k (open3d
+  remove_statistical_outlier semantics).
+- ``ransac_plane_device``: T plane hypotheses from PRNG triples, inlier
+  counts as one (T, N) comparison, argmax — all inside jit.
+
+Static-shape contract: clouds are padded to a fixed size with PAD_VALUE
+points (ops/bps.py convention) and a validity count is threaded through.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dexgangrasp_tpu.ops.bps import PAD_VALUE
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def knn_mean_dist(points: jax.Array, n_valid: jax.Array, k: int = 20,
+                  block: int = 2048) -> jax.Array:
+    """(N, 3) padded cloud → (N,) mean distance to k nearest real neighbors.
+
+    Padded entries get +inf distances from the query side and are excluded
+    as neighbors (their coordinates sit at PAD_VALUE, far away).
+    """
+    n = points.shape[0]
+    x_sq = jnp.sum(points * points, axis=1)
+    nblocks = -(-n // block)
+    padded = jnp.full((nblocks * block, 3), PAD_VALUE, points.dtype)
+    padded = jax.lax.dynamic_update_slice(padded, points, (0, 0))
+    chunks = padded.reshape(nblocks, block, 3)
+    chunk_sq = jnp.sum(chunks * chunks, axis=2)
+
+    def body(carry, inp):
+        # carry: (N, k) current smallest squared distances (sorted asc)
+        best = carry
+        chunk, c_sq, c_idx = inp
+        cross = jnp.matmul(points, chunk.T,
+                           precision=jax.lax.Precision.HIGHEST)
+        d2 = x_sq[:, None] + c_sq[None, :] - 2.0 * cross  # (N, block)
+        # mask self-distances: global index of chunk columns
+        col_ids = c_idx * block + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block), 1)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        d2 = jnp.where(col_ids == row_ids, jnp.inf, d2)
+        # merge with carry and keep k smallest
+        merged = jnp.concatenate([best, d2], axis=1)
+        best = -jax.lax.top_k(-merged, k)[0]
+        return best, None
+
+    init = jnp.full((n, k), jnp.inf, points.dtype)
+    idxs = jnp.arange(nblocks, dtype=jnp.int32)
+    best, _ = jax.lax.scan(body, init, (chunks, chunk_sq, idxs))
+    d = jnp.sqrt(jnp.maximum(best, 0.0))
+    return jnp.mean(d, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def statistical_outlier_mask_device(points: jax.Array, n_valid: jax.Array,
+                                    k: int = 20, std_ratio: float = 2.0
+                                    ) -> jax.Array:
+    """(N, 3) padded cloud → bool keep mask (padded entries False)."""
+    n = points.shape[0]
+    valid = jnp.arange(n) < n_valid
+    mean_d = knn_mean_dist(points, n_valid, k=k)
+    mean_d_v = jnp.where(valid, mean_d, 0.0)
+    denom = jnp.maximum(n_valid.astype(points.dtype), 1.0)
+    mu = jnp.sum(mean_d_v) / denom
+    var = jnp.sum(jnp.where(valid, (mean_d - mu) ** 2, 0.0)) / denom
+    thresh = mu + std_ratio * jnp.sqrt(var)
+    return valid & (mean_d <= thresh)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def radius_neighbor_count(points: jax.Array, n_valid: jax.Array,
+                          radius: float, block: int = 2048) -> jax.Array:
+    """(N, 3) padded cloud → (N,) neighbor counts within ``radius``.
+
+    The compute-light alternative to exact kNN: a blocked pairwise pass
+    with comparison+sum instead of top-k merges (no sort anywhere).
+    """
+    n = points.shape[0]
+    x_sq = jnp.sum(points * points, axis=1)
+    nblocks = -(-n // block)
+    padded = jnp.full((nblocks * block, 3), PAD_VALUE, points.dtype)
+    padded = jax.lax.dynamic_update_slice(padded, points, (0, 0))
+    chunks = padded.reshape(nblocks, block, 3)
+    r2 = radius * radius
+
+    def body(carry, chunk):
+        c_sq = jnp.sum(chunk * chunk, axis=1)
+        cross = jnp.matmul(points, chunk.T,
+                           precision=jax.lax.Precision.HIGHEST)
+        d2 = x_sq[:, None] + c_sq[None, :] - 2.0 * cross
+        return carry + jnp.sum(d2 < r2, axis=1), None
+
+    counts, _ = jax.lax.scan(body, jnp.zeros((n,), jnp.int32), chunks)
+    return counts - 1  # remove self-count
+
+
+@functools.partial(jax.jit, static_argnames=())
+def radius_outlier_mask_device(points: jax.Array, n_valid: jax.Array,
+                               radius: float = 0.01,
+                               min_neighbors: int = 8) -> jax.Array:
+    """o3d ``remove_radius_outlier`` semantics (the reference uses
+    remove_radius_outlier(150, 0.02) in its manual filter path,
+    utils.py:406): keep points with ≥ min_neighbors within radius."""
+    valid = jnp.arange(points.shape[0]) < n_valid
+    counts = radius_neighbor_count(points, n_valid, radius)
+    return valid & (counts >= min_neighbors)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def ransac_plane_device(points: jax.Array, n_valid: jax.Array,
+                        key: jax.Array, dist_thresh: float = 0.01,
+                        iterations: int = 1024
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """(N, 3) padded cloud → (plane [a,b,c,d], bool inlier mask).
+
+    All T hypotheses scored in one (T, N) pass; padded entries excluded.
+    """
+    n = points.shape[0]
+    valid = jnp.arange(n) < n_valid
+    # dynamic upper bound: scale uniforms (randint needs static bounds)
+    u = jax.random.uniform(key, (iterations, 3))
+    tri = jnp.minimum((u * n_valid).astype(jnp.int32), n_valid - 1)
+    p0 = points[tri[:, 0]]
+    p1 = points[tri[:, 1]]
+    p2 = points[tri[:, 2]]
+    normals = jnp.cross(p1 - p0, p2 - p0)
+    norm = jnp.linalg.norm(normals, axis=1, keepdims=True)
+    ok = norm[:, 0] > 1e-12
+    normals = normals / jnp.maximum(norm, 1e-12)
+    d = -jnp.einsum("ij,ij->i", normals, p0)
+    # (T, N) point-plane distances
+    dist = jnp.abs(jnp.matmul(normals, points.T,
+                              precision=jax.lax.Precision.HIGHEST)
+                   + d[:, None])
+    counts = jnp.sum((dist < dist_thresh) & valid[None, :], axis=1)
+    counts = jnp.where(ok, counts, -1)
+    best = jnp.argmax(counts)
+    plane = jnp.concatenate([normals[best], d[best][None]])
+    inliers = valid & (jnp.abs(points @ plane[:3] + plane[3]) < dist_thresh)
+    return plane, inliers
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iterations", "method"))
+def segment_object_device(points: jax.Array, n_valid: jax.Array,
+                          key: jax.Array, k: int = 20,
+                          std_ratio: float = 2.0,
+                          dist_thresh: float = 0.01,
+                          iterations: int = 1024,
+                          method: str = "statistical",
+                          radius: float = 0.012,
+                          min_neighbors: int = 6) -> jax.Array:
+    """Fused device segmentation: outlier removal + plane removal.
+
+    Returns a bool object mask over the padded cloud (True = keep as
+    object point).  Removed/padded points should be excluded downstream by
+    masking them to PAD_VALUE before BPS encoding.
+
+    method='statistical' matches open3d remove_statistical_outlier;
+    'radius' matches remove_radius_outlier and is ~sort-free on device
+    (preferred in the camera-rate loop).
+    """
+    if method == "radius":
+        keep = radius_outlier_mask_device(points, n_valid, radius=radius,
+                                          min_neighbors=min_neighbors)
+    else:
+        keep = statistical_outlier_mask_device(points, n_valid, k=k,
+                                               std_ratio=std_ratio)
+    # push removed points to PAD so they can't seed/support a plane
+    pts_clean = jnp.where(keep[:, None], points, PAD_VALUE)
+    _, plane_inliers = ransac_plane_device(pts_clean, n_valid, key,
+                                           dist_thresh, iterations)
+    return keep & ~plane_inliers

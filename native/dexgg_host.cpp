@@ -106,18 +106,42 @@ void dexgg_stat_outlier_mask(const float* pts, int64_t N, int32_t k,
     std::memset(keep_mask, 1, static_cast<size_t>(N));
     return;
   }
-  // cell size heuristic: aim ~2k points per 3x3x3 neighborhood
-  float minv[3] = {1e30f, 1e30f, 1e30f}, maxv[3] = {-1e30f, -1e30f, -1e30f};
-  for (int64_t i = 0; i < N; ++i)
-    for (int j = 0; j < 3; ++j) {
-      minv[j] = std::min(minv[j], pts[3 * i + j]);
-      maxv[j] = std::max(maxv[j], pts[3 * i + j]);
+  // cell-size heuristic: estimate the k-th-NN radius from a brute-force
+  // subsample (robust for both volumetric and surface-like clouds — a pure
+  // bounding-box-volume heuristic degenerates badly on planar scans, where
+  // it packs thousands of points per cell)
+  float cell;
+  {
+    const int64_t n_query = std::min<int64_t>(128, N);
+    const int64_t n_ref = std::min<int64_t>(4096, N);
+    const int64_t q_stride = std::max<int64_t>(1, N / n_query);
+    const int64_t r_stride = std::max<int64_t>(1, N / n_ref);
+    std::vector<float> kth;
+    std::vector<float> dists;
+    for (int64_t qi = 0; qi < N; qi += q_stride) {
+      dists.clear();
+      const float x = pts[3 * qi], y = pts[3 * qi + 1], z = pts[3 * qi + 2];
+      for (int64_t ri = 0; ri < N; ri += r_stride) {
+        if (ri == qi) continue;
+        const float dx = x - pts[3 * ri], dy = y - pts[3 * ri + 1],
+                    dz = z - pts[3 * ri + 2];
+        dists.push_back(dx * dx + dy * dy + dz * dz);
+      }
+      const int64_t kk = std::min<int64_t>(k, (int64_t)dists.size() - 1);
+      if (kk < 1) continue;
+      std::nth_element(dists.begin(), dists.begin() + kk - 1, dists.end());
+      kth.push_back(std::sqrt(dists[kk - 1]));
     }
-  const double vol =
-      std::max(1e-12, double(maxv[0] - minv[0]) * double(maxv[1] - minv[1]) *
-                          double(maxv[2] - minv[2]));
-  float cell = (float)std::cbrt(vol / N * (2.0 * k / 27.0 * 27.0));
-  cell = std::max(cell, 1e-5f);
+    float r_sub = 1e-3f;
+    if (!kth.empty()) {
+      std::nth_element(kth.begin(), kth.begin() + kth.size() / 2, kth.end());
+      r_sub = kth[kth.size() / 2];
+    }
+    // subsample is sparser than the full cloud by factor s = n_ref/N; for
+    // surface-like data r_k scales ~ 1/sqrt(density)
+    const float s = (float)n_ref / (float)N;
+    cell = std::max(r_sub * std::sqrt(s) * 1.5f, 1e-5f);
+  }
   Grid g = build_grid(pts, N, cell);
 
   std::vector<double> mean_d(static_cast<size_t>(N));
@@ -217,6 +241,47 @@ void dexgg_ransac_plane(const float* pts, int64_t N, float dist_thresh,
                                  best[2] * pts[3 * i + 2] + best[3]);
     inlier_mask[i] = dist < dist_thresh;
   }
+}
+
+// ------------------------------------------------------ voxel downsample --
+// keep one representative point (the first encountered) per voxel of edge
+// `voxel`; returns the number of kept points written to out (<= N).
+int64_t dexgg_voxel_downsample(const float* pts, int64_t N, float voxel,
+                               float* out, int64_t max_out) {
+  if (N == 0 || voxel <= 0) return 0;
+  float minv[3] = {1e30f, 1e30f, 1e30f};
+  for (int64_t i = 0; i < N; ++i)
+    for (int j = 0; j < 3; ++j) minv[j] = std::min(minv[j], pts[3 * i + j]);
+  // open-addressing hash set of voxel keys
+  int64_t cap = 1;
+  while (cap < 2 * N) cap <<= 1;
+  std::vector<uint64_t> table(static_cast<size_t>(cap), ~0ull);
+  int64_t n_out = 0;
+  for (int64_t i = 0; i < N && n_out < max_out; ++i) {
+    const uint64_t vx = (uint64_t)((pts[3 * i] - minv[0]) / voxel);
+    const uint64_t vy = (uint64_t)((pts[3 * i + 1] - minv[1]) / voxel);
+    const uint64_t vz = (uint64_t)((pts[3 * i + 2] - minv[2]) / voxel);
+    const uint64_t keyv = (vx * 73856093ull) ^ (vy * 19349663ull) ^
+                          (vz * 83492791ull);
+    const uint64_t packed = (vx << 42) | (vy << 21) | vz;
+    uint64_t slot = keyv & (uint64_t)(cap - 1);
+    bool fresh = true;
+    while (table[slot] != ~0ull) {
+      if (table[slot] == packed) {
+        fresh = false;
+        break;
+      }
+      slot = (slot + 1) & (uint64_t)(cap - 1);
+    }
+    if (fresh) {
+      table[slot] = packed;
+      out[3 * n_out] = pts[3 * i];
+      out[3 * n_out + 1] = pts[3 * i + 1];
+      out[3 * n_out + 2] = pts[3 * i + 2];
+      ++n_out;
+    }
+  }
+  return n_out;
 }
 
 // ------------------------------------------------------ workspace crop ----

@@ -1,0 +1,46 @@
+"""End-to-end test of the fully-fused frame→grasps device program."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dexgangrasp_tpu.engine import folding
+from dexgangrasp_tpu.engine.frame_pipeline import frame_to_grasps
+from dexgangrasp_tpu.models.networks import init_dexgan, init_evaluator
+from dexgangrasp_tpu.ops.bps import generate_basis, pad_cloud
+
+rng = np.random.default_rng(101)
+
+
+def test_frame_to_grasps_end_to_end():
+    (_, gp, gs), _ = init_dexgan(jax.random.PRNGKey(0))
+    _, ep, es = init_evaluator(jax.random.PRNGKey(1))
+    gf = folding.fold_generator(gp, gs)
+    ef = folding.fold_evaluator(ep, es)
+    basis = generate_basis(jax.random.PRNGKey(2), 4096, 0.2)
+
+    # scene: table plane + object blob + a few fliers
+    plane = np.concatenate(
+        [rng.uniform(-0.3, 0.3, (1200, 2)),
+         0.5 + rng.normal(size=(1200, 1)) * 0.002], axis=1)
+    obj_center = np.array([0.05, -0.02, 0.35])
+    obj = rng.normal(size=(400, 3)) * 0.03 + obj_center
+    fliers = rng.normal(size=(6, 3)) * 0.03 + 3.0
+    pts = np.concatenate([plane, obj, fliers]).astype(np.float32)
+    padded = pad_cloud(pts, 2048)
+
+    g, center, n_obj = frame_to_grasps(
+        gf, ef, basis, jnp.asarray(padded), jnp.asarray(pts.shape[0]),
+        jax.random.PRNGKey(3), n_samples=512, top_k=8, ransac_iters=256)
+
+    assert g.transl.shape == (8, 3)
+    assert g.score.shape == (8,)
+    assert (np.diff(np.asarray(g.score)) <= 1e-6).all()
+    # the recovered centroid is the object blob's centroid, not the plane's
+    assert np.linalg.norm(np.asarray(center) - obj_center) < 0.02
+    assert 300 <= int(n_obj) <= 450
+    # rotations valid
+    R = np.asarray(g.rot_matrix)
+    np.testing.assert_allclose(np.einsum("bij,bkj->bik", R, R),
+                               np.broadcast_to(np.eye(3), R.shape), atol=1e-4)
