@@ -36,7 +36,9 @@ def frame_to_grasps(gen_folded: dict, eva_folded: dict, basis: jax.Array,
                     z_offset: float = 0.025,
                     knn_k: int = 20, std_ratio: float = 2.0,
                     plane_thresh: float = 0.01, ransac_iters: int = 1024,
-                    outlier_method: str = "radius"
+                    outlier_method: str = "radius",
+                    outlier_radius: float = 0.012,
+                    outlier_min_neighbors: int = 6
                     ) -> Tuple[Grasps, jax.Array, jax.Array]:
     """padded (N, 3) cloud + n_valid → (top-k Grasps in the *centroid*
     frame, pc_center (3,), n_object_points).
@@ -48,7 +50,9 @@ def frame_to_grasps(gen_folded: dict, eva_folded: dict, basis: jax.Array,
                                      std_ratio=std_ratio,
                                      dist_thresh=plane_thresh,
                                      iterations=ransac_iters,
-                                     method=outlier_method)
+                                     method=outlier_method,
+                                     radius=outlier_radius,
+                                     min_neighbors=outlier_min_neighbors)
     n_obj = jnp.sum(obj_mask)
     denom = jnp.maximum(n_obj.astype(points.dtype), 1.0)
     center = jnp.sum(jnp.where(obj_mask[:, None], points, 0.0),

@@ -104,7 +104,8 @@ def radius_neighbor_count(points: jax.Array, n_valid: jax.Array,
         cross = jnp.matmul(points, chunk.T,
                            precision=jax.lax.Precision.HIGHEST)
         d2 = x_sq[:, None] + c_sq[None, :] - 2.0 * cross
-        return carry + jnp.sum(d2 < r2, axis=1), None
+        # dtype pinned: under x64 the default sum dtype promotes to int64
+        return carry + jnp.sum(d2 < r2, axis=1, dtype=jnp.int32), None
 
     counts, _ = jax.lax.scan(body, jnp.zeros((n,), jnp.int32), chunks)
     return counts - 1  # remove self-count

@@ -80,9 +80,14 @@ def show_generated_grasp_distribution(pcd_path_or_points, grasps: Dict,
 def show_grasp_and_object(pcd_path_or_points, transl: np.ndarray,
                           rot: np.ndarray,
                           joint_conf: Optional[np.ndarray] = None,
+                          urdf_path: Optional[str] = None,
                           save_path: Optional[str] = None):
-    """One grasp against the object; palm drawn as an oriented box proxy
-    plus finger direction rays scaled by joint closure."""
+    """One grasp against the object.
+
+    With ``urdf_path`` (e.g. the robotiq-3f articulated URDF the reference
+    renders, visualization.py:544), the hand is drawn as the FK'd link-mesh
+    cloud at the given joint configuration; otherwise a palm-box proxy.
+    """
     if isinstance(pcd_path_or_points, str):
         from dexgangrasp_tpu.utils.pcd import load_pcd
 
@@ -93,11 +98,21 @@ def show_grasp_and_object(pcd_path_or_points, transl: np.ndarray,
     ax = fig.add_subplot(projection="3d")
     _plot_cloud(ax, points)
     _plot_frames(ax, transl[None], rot[None], length=0.05, max_frames=1)
-    # palm proxy: 8-corner box in the palm frame
-    corners = np.array([[x, y, z] for x in (0, 0.04)
-                        for y in (-0.05, 0.05) for z in (-0.02, 0.02)])
-    world = (rot @ corners.T).T + transl
-    ax.scatter(world[:, 0], world[:, 1], world[:, 2], c="m", s=12)
+    if urdf_path is not None and os.path.isfile(urdf_path):
+        from dexgangrasp_tpu.core.joints import hand_cfg_map
+        from dexgangrasp_tpu.utils.urdf import URDF
+
+        hand = URDF(urdf_path)
+        cfg = hand_cfg_map(joint_conf) if joint_conf is not None else None
+        cloud = hand.hand_cloud(cfg)
+        world = (rot @ cloud.T).T + transl
+        ax.scatter(world[:, 0], world[:, 1], world[:, 2], c="m", s=2)
+    else:
+        # palm proxy: 8-corner box in the palm frame
+        corners = np.array([[x, y, z] for x in (0, 0.04)
+                            for y in (-0.05, 0.05) for z in (-0.02, 0.02)])
+        world = (rot @ corners.T).T + transl
+        ax.scatter(world[:, 0], world[:, 1], world[:, 2], c="m", s=12)
     if joint_conf is not None:
         closure = float(np.mean(joint_conf))
         ax.set_title(f"grasp (mean joint closure {closure:.2f})")
