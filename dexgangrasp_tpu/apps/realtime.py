@@ -216,16 +216,27 @@ class RealSenseCamera:
         self.pc = rs.pointcloud()
         self.shape = (height, width)
 
-    def capture(self) -> Dict:
-        frames = self.align.process(self.pipeline.wait_for_frames())
-        depth = frames.get_depth_frame()
-        color = frames.get_color_frame()
-        points = self.pc.calculate(depth)
-        verts = np.asanyarray(points.get_vertices()).view(np.float32)
-        verts = verts.reshape(self.shape + (3,))
-        return {"color": np.asanyarray(color.get_data()),
-                "depth": np.asanyarray(depth.get_data()),
-                "points": verts}
+    def capture(self, max_retries: int = 5) -> Dict:
+        """Capture one aligned frame; retries on RuntimeError like the
+        reference (realsense.py:68-76 — transient USB timeouts happen)."""
+        last_err = None
+        for _ in range(max_retries):
+            try:
+                frames = self.align.process(self.pipeline.wait_for_frames())
+                depth = frames.get_depth_frame()
+                color = frames.get_color_frame()
+                if not depth or not color:
+                    continue
+                points = self.pc.calculate(depth)
+                verts = np.asanyarray(points.get_vertices()).view(np.float32)
+                verts = verts.reshape(self.shape + (3,))
+                return {"color": np.asanyarray(color.get_data()),
+                        "depth": np.asanyarray(depth.get_data()),
+                        "points": verts}
+            except RuntimeError as e:
+                last_err = e
+        raise RuntimeError(f"camera capture failed after {max_retries} "
+                           f"attempts") from last_err
 
 
 class RosGraspPublisher:
