@@ -122,6 +122,19 @@ class _BaseDataSet:
         bps_name = os.path.split(bps_path)[1]
         return "_".join(bps_name.split("_bps")[:-1])
 
+    def debug_show_sample(self, bps_path: str, transl, rot, joint_conf=None,
+                          save_path: Optional[str] = None):
+        """Render one assembled sample's grasp against its view cloud —
+        the counterpart of the reference's is_debug visual checks
+        (dexgenerator_data_set.py:166-173) for frame-convention sanity."""
+        from dexgangrasp_tpu.utils import visualization as viz
+
+        pcd_path = bps_path.replace("bps", "pcd").replace(".npy", ".pcd")
+        return viz.show_grasp_and_object(pcd_path, np.asarray(transl),
+                                         np.asarray(rot),
+                                         joint_conf=joint_conf,
+                                         save_path=save_path)
+
     def _reduce(self, joints: np.ndarray) -> np.ndarray:
         if not self.group_joints:
             return joints

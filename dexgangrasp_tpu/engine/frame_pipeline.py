@@ -27,6 +27,20 @@ from dexgangrasp_tpu.ops.bps import PAD_VALUE, bps_encode_xla
 from dexgangrasp_tpu.ops.perception import segment_object_device
 
 
+def compact_masked_points(points: jax.Array, mask: jax.Array,
+                          out_size: int) -> jax.Array:
+    """Gather masked rows into a fixed (out_size, 3) buffer (PAD-filled).
+
+    Static-shape stream compaction via cumsum+scatter (O(N), no sort):
+    shrinks the encode workload to the object's actual extent instead of
+    the full padded frame."""
+    idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dest = jnp.where(mask & (idx < out_size), idx, out_size)  # drop slot
+    out = jnp.full((out_size + 1, 3), PAD_VALUE, points.dtype)
+    out = out.at[dest].set(points, mode="drop")
+    return out[:out_size]
+
+
 @functools.partial(jax.jit, static_argnames=("n_samples", "top_k",
                                              "ransac_iters", "knn_k",
                                              "outlier_method"))
@@ -59,7 +73,11 @@ def frame_to_grasps(gen_folded: dict, eva_folded: dict, basis: jax.Array,
                      axis=0) / denom
     centered = jnp.where(obj_mask[:, None], points - center, PAD_VALUE)
 
-    bps = bps_encode_xla(basis, centered)
+    # compact the object to a quarter-size buffer before encoding (the
+    # object is a small fraction of the frame; BPS cost scales with it)
+    obj_buf = compact_masked_points(centered, obj_mask,
+                                    max(1024, points.shape[0] // 4))
+    bps = bps_encode_xla(basis, obj_buf)
 
     z = jax.random.normal(k_z, (n_samples, gen_folded["rb1"]["w1_z"].shape[0]),
                           points.dtype)

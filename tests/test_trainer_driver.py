@@ -48,6 +48,27 @@ def test_driver_end_to_end_and_resume(tiny_ds, tmp_path):
     assert os.path.isfile(os.path.join(cfg["save_dir"], "3_gen_net.npz"))
 
 
+def test_driver_wgan_mode(tiny_ds, tmp_path):
+    """is_wgan config flag drives the WGAN-GP step through the driver."""
+    cfg = _cfg(tiny_ds, tmp_path, is_wgan=True, train_ffhevaluator=False,
+               num_epochs=1, save_freq=5)
+    driver = TrainDriver(cfg)
+    assert driver.tcfg.is_wgan
+    driver.run(num_epochs=1)
+    assert int(driver.gan_ts.step) > 0
+
+
+def test_dataset_debug_show_sample(tiny_ds, tmp_path):
+    from dexgangrasp_tpu.data.datasets import DexGeneratorDataSet
+
+    ds = DexGeneratorDataSet(tiny_ds, "train")
+    item = ds[0]
+    out = ds.debug_show_sample(ds.bps_paths[0], item["transl"],
+                               item["rot_matrix"], item["joint_conf"],
+                               save_path=str(tmp_path / "dbg.png"))
+    assert os.path.isfile(out)
+
+
 def test_driver_data_parallel_mesh(tiny_ds, tmp_path):
     from dexgangrasp_tpu.parallel.mesh import data_parallel_mesh
 
