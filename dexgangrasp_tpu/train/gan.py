@@ -72,6 +72,12 @@ class TrainConfig:
     gen_train_freq: int = 1
     init_type: str = "xavier"
     init_gain: float = 0.02
+    # reconstruction loss selection (reference define_losses,
+    # dexgangrasp.py:13-25): 'transl_rot_6d_l2' (default) or
+    # 'control_point_l1'; 'control_point_chamfer' additionally covers the
+    # chamfer-loss training config with the Pallas/XLA chamfer reduction.
+    recon_loss: str = "transl_rot_6d_l2"
+    n_control_points: int = 64
 
 
 def make_optimizer(lr: float, beta1: float, weight_decay: float
@@ -132,6 +138,49 @@ class GanTrainer:
         self.gen_tx = make_optimizer(cfg.lr_gen, cfg.beta1, cfg.weight_decay)
         self.disc_tx = make_optimizer(cfg.lr_dis, cfg.beta1, cfg.weight_decay)
         self.eva_tx = make_optimizer(cfg.lr, cfg.beta1, cfg.weight_decay)
+        if cfg.recon_loss not in ("transl_rot_6d_l2", "control_point_l1",
+                                  "control_point_chamfer"):
+            raise ValueError(
+                "Requested loss not available, choose [transl_rot_6d_l2, "
+                "control_point_l1, control_point_chamfer]")
+        if cfg.recon_loss != "transl_rot_6d_l2":
+            from dexgangrasp_tpu.tools.control_points import (
+                create_palm_control_points,
+            )
+
+            self._control_points = jnp.asarray(
+                create_palm_control_points(cfg.n_control_points))
+        else:
+            self._control_points = None
+
+    def _recon_losses(self, rot_6d, transl, real_rot_flat, real_transl):
+        """Selected reconstruction loss → (transl_term, rot_term).
+
+        For the control-point variants the pose error is a single joint
+        term on FK'd palm points; it is reported under 'transl_loss' with
+        the rot term zeroed (the reference's control_point path likewise
+        collapses pose error into one number, losses.py:19-51)."""
+        cfg = self.cfg
+        if cfg.recon_loss == "transl_rot_6d_l2":
+            return transl_rot_6d_l2_loss(rot_6d, transl, real_rot_flat,
+                                         real_transl)
+        n = transl.shape[0]
+        cp = self._control_points
+        pred_R = rot_matrix_from_ortho6d(rot_6d)
+        real_R = real_rot_flat.reshape(n, 3, 3)
+        pred_pts = jnp.einsum("bij,pj->bpi", pred_R, cp) + transl[:, None, :]
+        real_pts = jnp.einsum("bij,pj->bpi", real_R, cp) \
+            + real_transl[:, None, :]
+        if cfg.recon_loss == "control_point_l1":
+            err = jnp.mean(jnp.sum(jnp.abs(pred_pts - real_pts), -1))
+            return err, jnp.zeros_like(err)
+        # chamfer between the FK'd point sets, batched
+        from dexgangrasp_tpu.ops.chamfer import chamfer_distance_xla
+
+        per_pair = jax.vmap(lambda a, b: chamfer_distance_xla(
+            a, b, block=cp.shape[0]))(pred_pts, real_pts)
+        err = jnp.mean(per_pair)
+        return err, jnp.zeros_like(err)
 
     # ------------------------------------------------------------ builders
 
@@ -265,7 +314,7 @@ class GanTrainer:
                 else:
                     adv = cfg.bce_weight * bce_logits(
                         fake_score, jnp.ones_like(fake_score))
-                transl_l2, rot_l2 = transl_rot_6d_l2_loss(
+                transl_l2, rot_l2 = self._recon_losses(
                     yf.rot_6d, yf.transl, real_rot_flat, real_transl)
                 conf_l2 = jnp.mean((yf.joint_conf - real_joints) ** 2)
                 logs = {
@@ -346,7 +395,7 @@ class GanTrainer:
         else:
             adv = cfg.bce_weight * bce_logits(fake_score,
                                               jnp.ones_like(fake_score))
-        transl_l2, rot_l2 = transl_rot_6d_l2_loss(
+        transl_l2, rot_l2 = self._recon_losses(
             yf.rot_6d, yf.transl, real_rot_flat, real_transl)
         conf_l2 = jnp.mean((yf.joint_conf - real_joints) ** 2)
         logs = {

@@ -58,6 +58,10 @@ DEFAULTS = {
     "lr_dis": 1e-4,
     "lr_gen": 1e-4,
     "basis_path": None,
+    # reconstruction loss (the reference hardcodes 'transl_rot_6D_l2' at
+    # dexgangrasp.py:120; exposed here): transl_rot_6d_l2 |
+    # control_point_l1 | control_point_chamfer
+    "recon_loss": "transl_rot_6d_l2",
 }
 
 
@@ -112,4 +116,5 @@ def train_config_from_cfg(cfg: dict):
         bce_weight=cfg["bce_weight"], kl_coef=cfg["kl_coef"],
         is_wgan=cfg["is_wgan"], gen_train_freq=cfg["gen_train_freq"],
         init_type=cfg["weight_init_type"], init_gain=cfg["init_gain"],
+        recon_loss=cfg.get("recon_loss", "transl_rot_6d_l2"),
     )

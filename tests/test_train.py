@@ -127,6 +127,26 @@ def test_evaluator_learns_separable_toy():
     assert float(ev["accuracy"]) > 0.8
 
 
+@pytest.mark.parametrize("loss", ["control_point_l1",
+                                  "control_point_chamfer"])
+def test_recon_loss_variants_descend(loss):
+    trainer = GanTrainer(TrainConfig(recon_loss=loss))
+    ts = trainer.init_gan_state(jax.random.PRNGKey(0))
+    batch = _toy_batch(16)
+    first = None
+    for i in range(5):
+        ts, logs = trainer.gan_step(ts, batch, jax.random.PRNGKey(i))
+        if first is None:
+            first = float(logs["transl_loss"])
+    assert float(logs["transl_loss"]) < first
+    assert float(logs["rot_loss"]) == 0.0  # pose error collapsed into one term
+
+
+def test_recon_loss_rejects_unknown():
+    with pytest.raises(ValueError):
+        GanTrainer(TrainConfig(recon_loss="bogus"))
+
+
 def test_eval_steps_no_state_mutation():
     trainer = GanTrainer(TrainConfig())
     ts = trainer.init_gan_state(jax.random.PRNGKey(0))
