@@ -100,7 +100,7 @@ def main():
     ap.add_argument("--n-samples", type=int, default=400)
     args = ap.parse_args()
 
-    import eval as eval_cli
+    from dexgangrasp_tpu import cli as eval_cli
 
     engine = eval_cli.load_engine(args.gen, args.eva)
     out = run_afford_offline(engine, args.save_path, args.index,

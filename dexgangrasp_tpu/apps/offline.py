@@ -76,7 +76,7 @@ def main():
     ap.add_argument("--visualize", action="store_true")
     args = ap.parse_args()
 
-    import eval as eval_cli  # reuse checkpoint loading
+    from dexgangrasp_tpu import cli as eval_cli  # reuse checkpoint loading
 
     engine = eval_cli.load_engine(args.gen, args.eva)
     results = eval_sampling_and_filtering_real(

@@ -1,189 +1,6 @@
 #!/usr/bin/env python3
-"""MAGD evaluation CLI — counterpart of reference ``eval.py`` (the parity
-gate).
-
-Per eval object: generate as many grasps as there are ground-truth
-positives (optionally 5× + 3-stage evaluator filtering), then compute the
-Mean Absolute Grasp Deviation sums + coverage (reference eval.py:98-137
-semantics, vectorized).
-
-Modes:
-  --data-dir DIR          dataset following the reference contract (uses its
-                          eval split; with --eval-batch, the frozen fixture
-                          supplies the BPS rows like the reference)
-  --synthetic DIR         build/use a synthetic dataset (self-contained)
-  --gen/--eva PATH        checkpoints (.npz native, or reference .pt)
-
-Fixes reference eval.py:322 (undefined z_offset when is_filter=True — here
-z_offset is an explicit flag).
-"""
-import argparse
-import math
-import os
-
-import numpy as np
-
-
-def load_engine(gen_path, eva_path, basis_path=None):
-    import jax
-
-    from dexgangrasp_tpu.engine.pipeline import GraspEngine
-    from dexgangrasp_tpu.models import torch_import
-    from dexgangrasp_tpu.ops.bps import load_basis
-    from dexgangrasp_tpu.train import checkpoints as ckpt
-
-    if gen_path and gen_path.endswith(".pt"):
-        gp, gs, dp, ds, _ = torch_import.load_reference_gen_checkpoint(gen_path)
-    elif gen_path:
-        trees, _ = ckpt.load_pytrees(gen_path)
-        gp, gs = trees["gen_params"], trees["gen_state"]
-        dp, ds = trees["disc_params"], trees["disc_state"]
-    else:  # fresh weights (structure-parity runs without checkpoints)
-        from dexgangrasp_tpu.models.networks import init_dexgan
-
-        (_, gp, gs), (_, dp, ds) = init_dexgan(jax.random.PRNGKey(0))
-    if eva_path and eva_path.endswith(".pt"):
-        ep, es, _ = torch_import.load_reference_eva_checkpoint(eva_path)
-    elif eva_path:
-        trees, _ = ckpt.load_pytrees(eva_path)
-        ep, es = trees["params"], trees["state"]
-    else:
-        from dexgangrasp_tpu.models.networks import init_evaluator
-
-        _, ep, es = init_evaluator(jax.random.PRNGKey(1))
-    basis = load_basis(basis_path) if basis_path else None
-    return GraspEngine(gp, gs, ep, es, disc_params=dp, disc_state=ds,
-                       basis=basis)
-
-
-def run_filter(engine, bps, grasps, n_samples, thresh_list, use_disc):
-    """Reference 3-stage filter (eval.py:139-204)."""
-    out = grasps
-    n_filt = len(grasps["rot_matrix"])
-    for thresh in thresh_list:
-        out = engine.filter_grasps(bps, grasps, thresh=thresh,
-                                   use_discriminator=use_disc)
-        n_filt = out["rot_matrix"].shape[0]
-        print(f"n_grasps after filtering: {n_filt} "
-              f"({n_filt / max(n_samples, 1):.2f} pass)")
-    return out, n_filt
-
-
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--data-dir", default=None)
-    ap.add_argument("--synthetic", default=None)
-    ap.add_argument("--gen", default=None, help="generator ckpt (.npz/.pt)")
-    ap.add_argument("--eva", default=None, help="evaluator ckpt (.npz/.pt)")
-    ap.add_argument("--basis", default=None)
-    ap.add_argument("--filter", action="store_true", dest="is_filter")
-    ap.add_argument("--discriminator", action="store_true")
-    ap.add_argument("--z-offset", type=float, default=0.025)
-    ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--sweep-dir", default=None,
-                    help="run-dir of checkpoints: evaluate every saved epoch "
-                         "and write <sweep-dir>_metrics.csv (reference "
-                         "eval.py:407-426)")
-    args = ap.parse_args()
-
-    if args.sweep_dir:
-        return sweep(args)
-    return _run_single(args)
-
-
-def _run_single(args):
-    from dexgangrasp_tpu.data.datasets import DexGeneratorDataSet
-    from dexgangrasp_tpu.eval.magd import magd_for_grasp_distribution
-
-    data_dir = args.data_dir or args.synthetic
-    if args.synthetic and not os.path.isfile(
-            os.path.join(args.synthetic, "metadata.csv")):
-        from dexgangrasp_tpu.data.synthetic import build_synthetic_dataset
-
-        build_synthetic_dataset(args.synthetic, n_objects=8,
-                                views_per_object=2, grasps_per_object=24)
-    basis = args.basis or (os.path.join(data_dir, "basis_point_set.npy")
-                           if args.synthetic else None)
-    if basis and not os.path.isfile(basis):
-        basis = None
-    engine = load_engine(args.gen, args.eva, basis)
-
-    thresh_list = ([0.15, 0.175, 0.20] if args.discriminator
-                   else [0.5, 0.75, 0.90])
-
-    dset = DexGeneratorDataSet(data_dir, "eval")
-    # enumerate every eval-split view (the reference iterates its frozen
-    # 64-row eval_batch; here each unique bps file is an eval row)
-    unique_bps = sorted(set(dset.bps_paths))
-
-    sums = {"transl": 0.0, "rot": 0.0, "joint": 0.0, "coverage": 0.0}
-    num_nan = 0
-    for bps_path in unique_bps:
-        pcd_path = bps_path.replace("bps", "pcd").replace(".npy", ".pcd")
-        grasps_gt = dset.get_grasps_from_pcd_path(pcd_path)
-        n_gt = grasps_gt["joint_conf"].shape[0]
-        bps = np.load(bps_path).ravel()
-        if args.is_filter:
-            out = engine.generate_grasps(bps, n_samples=n_gt * 5,
-                                         z_offset=args.z_offset,
-                                         seed=args.seed)
-            try:
-                out, _ = run_filter(engine, bps, out, n_gt,
-                                    thresh_list, args.discriminator)
-            except ValueError as e:
-                print("filter rejected all grasps:", e)
-        else:
-            out = engine.generate_grasps(bps, n_samples=n_gt, seed=args.seed)
-        t, r, j, cov = magd_for_grasp_distribution(out, grasps_gt)
-        if not any(map(math.isnan, (t, r, j))):
-            sums["transl"] += t
-            sums["rot"] += r
-            sums["joint"] += j
-        else:
-            num_nan += 1
-        sums["coverage"] += cov
-
-    n = len(unique_bps)
-    sums["n"] = n
-    print("transl_loss_sum:", sums["transl"])
-    print("rot_loss_sum:", sums["rot"])
-    print("joint_loss_sum:", sums["joint"])
-    print("coverage", sums["coverage"] / n)
-    print(f"invalid output is: {num_nan}/{n}")
-    return sums
-
-
-def sweep(args):
-    """Multi-epoch CSV sweep (reference eval.py:407-426): re-run the MAGD
-    protocol for every ``{epoch}_gen_net.npz`` in a run dir."""
-    import csv
-    import glob
-    import sys
-
-    epochs = sorted(
-        int(os.path.basename(p).split("_")[0])
-        for p in glob.glob(os.path.join(args.sweep_dir, "*_gen_net.npz")))
-    eva_epochs = sorted(
-        int(os.path.basename(p).split("_")[0])
-        for p in glob.glob(os.path.join(args.sweep_dir, "*_eva_net.npz")))
-    eva_path = (os.path.join(args.sweep_dir, f"{eva_epochs[-1]}_eva_net.npz")
-                if eva_epochs else None)
-    out_csv = args.sweep_dir.rstrip("/") + "_metrics.csv"
-    with open(out_csv, "w", newline="") as f:
-        w = csv.writer(f)
-        w.writerow(["epoch", "transl_loss_sum", "rot_loss_sum",
-                    "joint_loss_sum", "coverage_mean"])
-        for epoch in epochs:
-            print("Evaluating epoch:", epoch)
-            sub = argparse.Namespace(**vars(args))
-            sub.gen = os.path.join(args.sweep_dir, f"{epoch}_gen_net.npz")
-            sub.eva = eva_path
-            sub.sweep_dir = None
-            sums = _run_single(sub)
-            w.writerow([epoch, sums["transl"], sums["rot"], sums["joint"],
-                        sums["coverage"] / max(sums["n"], 1)])
-    print("wrote", out_csv)
-
+"""MAGD evaluation CLI shim — see dexgangrasp_tpu/cli.py (eval_main)."""
+from dexgangrasp_tpu.cli import eval_main
 
 if __name__ == "__main__":
-    main()
+    eval_main()
