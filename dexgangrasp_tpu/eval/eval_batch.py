@@ -44,6 +44,31 @@ def load_eval_batch(path: str = DEFAULT_PTH,
     return out
 
 
+def make_eval_batch(dataset, batch_size: int = 64) -> Dict:
+    """Draw one fixed batch from a generator dataset — the counterpart of
+    the reference's first-run fixture creation (eval.py:292-296), which
+    freezes one shuffled 64-row batch as the regression anchor."""
+    batch = dataset.sample_batch(batch_size)
+    return {
+        "rot_matrix": np.asarray(batch["rot_matrix"], np.float64),
+        "transl": np.asarray(batch["transl"], np.float64),
+        "joint_conf": np.asarray(batch["joint_conf"], np.float64),
+        "bps_object": np.asarray(batch["bps_object"], np.float32),
+        "pcd_path": list(batch["pcd_path"]),
+        "obj_name": list(batch["obj_name"]),
+    }
+
+
+def save_eval_batch(batch: Dict, path: str) -> str:
+    """Persist a fixture as npz (the torch-free equivalent of
+    save_batch_to_file, eval.py:22-31)."""
+    np.savez(path, rot_matrix=batch["rot_matrix"], transl=batch["transl"],
+             joint_conf=batch["joint_conf"], bps_object=batch["bps_object"],
+             pcd_path=np.array(batch["pcd_path"]),
+             obj_name=np.array(batch["obj_name"]))
+    return path
+
+
 def _from_npz(path: str) -> Dict:
     z = np.load(path, allow_pickle=False)
     out = {k: z[k] for k in

@@ -86,6 +86,28 @@ def test_magd_on_eval_batch_fixture():
     np.testing.assert_allclose(ours, ref, rtol=1e-10)
 
 
+def test_make_and_save_eval_batch(tmp_path):
+    from dexgangrasp_tpu.data.synthetic import build_synthetic_dataset
+    from dexgangrasp_tpu.data.datasets import DexGeneratorDataSet
+    from dexgangrasp_tpu.eval.eval_batch import (
+        load_eval_batch,
+        make_eval_batch,
+        save_eval_batch,
+    )
+
+    d = str(tmp_path / "ds")
+    build_synthetic_dataset(d, n_objects=4, views_per_object=1,
+                            grasps_per_object=6, points_per_cloud=256)
+    ds = DexGeneratorDataSet(d, "eval")
+    batch = make_eval_batch(ds, batch_size=8)
+    p = save_eval_batch(batch, str(tmp_path / "eval_batch.npz"))
+    back = load_eval_batch(p)
+    np.testing.assert_allclose(back["bps_object"], batch["bps_object"],
+                               atol=0)
+    assert back["obj_name"] == batch["obj_name"]
+    assert back["rot_matrix"].shape == (8, 3, 3)
+
+
 def test_magd_jax_consistent():
     pred = _random_grasp_set(40)
     gt = _random_grasp_set(30)
