@@ -1,0 +1,59 @@
+"""Training loop pieces for the diffusion grasp generator."""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dexgangrasp_tpu.core.rotations import ortho6d_from_rot_matrix
+from dexgangrasp_tpu.models.diffusion import (
+    DexDiffuser,
+    GraspNormalizer,
+    grasp_vector,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DiffusionTrainState:
+    params: Any
+    opt: Any
+    step: jax.Array
+
+
+class DiffusionTrainer:
+    def __init__(self, model: DexDiffuser = DexDiffuser(), lr: float = 3e-4,
+                 normalizer: GraspNormalizer = None):
+        self.model = model
+        self.tx = optax.adam(lr)
+        self.normalizer = normalizer
+
+    def init_state(self, key: jax.Array) -> DiffusionTrainState:
+        params = self.model.init(key)
+        return DiffusionTrainState(params=params, opt=self.tx.init(params),
+                                   step=jnp.zeros((), jnp.int32))
+
+    def batch_to_g0(self, batch: Dict) -> Tuple[jax.Array, jax.Array]:
+        """Dataset batch → (bps (B,4096), normalized grasp vectors)."""
+        rot6 = ortho6d_from_rot_matrix(
+            jnp.asarray(batch["rot_matrix"], jnp.float32))
+        g = grasp_vector(rot6, jnp.asarray(batch["transl"], jnp.float32),
+                         jnp.asarray(batch["joint_conf"], jnp.float32))
+        if self.normalizer is not None:
+            g = self.normalizer.normalize(g)
+        return jnp.asarray(batch["bps_object"], jnp.float32), g
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def train_step(self, ts: DiffusionTrainState, bps: jax.Array,
+                   g0: jax.Array, key: jax.Array
+                   ) -> Tuple[DiffusionTrainState, jax.Array]:
+        loss, grads = jax.value_and_grad(self.model.loss)(ts.params, key,
+                                                          bps, g0)
+        updates, opt = self.tx.update(grads, ts.opt, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        return DiffusionTrainState(params=params, opt=opt,
+                                   step=ts.step + 1), loss

@@ -1,0 +1,109 @@
+"""Diffusion grasp generator tests: shapes, training descends, sampling
+recovers a known distribution, engine interop."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dexgangrasp_tpu.core.rotations import rot_matrix_from_ortho6d
+from dexgangrasp_tpu.models.diffusion import (
+    DexDiffuser,
+    GraspNormalizer,
+    cosine_alpha_bar,
+    grasp_vector,
+    split_grasp_vector,
+    timestep_embedding,
+)
+from dexgangrasp_tpu.train.diffusion import DiffusionTrainer
+
+rng = np.random.default_rng(121)
+
+
+def test_schedule_and_embedding():
+    t = jnp.linspace(0, 1, 11)
+    ab = np.asarray(cosine_alpha_bar(t))
+    assert ab[0] > 0.999 and ab[-1] < 1e-3
+    assert (np.diff(ab) < 0).all()  # monotone decreasing
+    emb = timestep_embedding(t, 64)
+    assert emb.shape == (11, 64)
+    assert not np.allclose(np.asarray(emb[0]), np.asarray(emb[5]))
+
+
+def test_denoiser_shapes_and_conditioning():
+    model = DexDiffuser()
+    params = model.init(jax.random.PRNGKey(0))
+    bps = jnp.asarray(rng.uniform(0, 0.2, 4096).astype(np.float32))
+    cond = model.embed_object(params, bps)
+    assert cond.shape == (256,)
+    g = jnp.asarray(rng.normal(size=(32, 21)).astype(np.float32))
+    t = jnp.full((32,), 0.5)
+    e = model.eps(params, cond, g, t)
+    assert e.shape == (32, 21)
+    # conditioning matters
+    bps2 = jnp.asarray(rng.uniform(0, 0.2, 4096).astype(np.float32))
+    e2 = model.eps(params, model.embed_object(params, bps2), g, t)
+    assert not np.allclose(np.asarray(e), np.asarray(e2))
+
+
+def test_training_descends_and_sampling_recovers_mode():
+    """Train on a single tight grasp mode; DDIM samples must converge
+    near it."""
+    model = DexDiffuser(n_blocks=2, hidden=256, cond_dim=64)
+    trainer = DiffusionTrainer(model, lr=2e-3)
+    ts = trainer.init_state(jax.random.PRNGKey(0))
+    bps = jnp.asarray(rng.uniform(0, 0.2, (64, 4096)).astype(np.float32))
+    # one fixed mode in normalized space + small noise
+    mode = jnp.asarray(rng.normal(size=(21,)).astype(np.float32))
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for i in range(400):
+        key, k1, k2 = jax.random.split(key, 3)
+        g0 = mode + 0.05 * jax.random.normal(k1, (64, 21))
+        ts, loss = trainer.train_step(ts, bps, g0, k2)
+        losses.append(float(loss))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.7
+    samples = model.sample(ts.params, bps[0], jax.random.PRNGKey(2), 128,
+                           steps=30)
+    err = np.linalg.norm(np.asarray(samples) - np.asarray(mode), axis=1)
+    # samples concentrate near the mode (21-dim; samples from the N(0,I)
+    # prior would sit at ||x - mode|| ≈ sqrt(21 + ||mode||²))
+    prior_dist = np.sqrt(21 + float(jnp.sum(mode ** 2)))
+    assert np.median(err) < prior_dist * 0.45
+
+
+def test_grasp_vector_roundtrip_and_normalizer():
+    rot6 = jnp.asarray(rng.normal(size=(16, 6)).astype(np.float32))
+    transl = jnp.asarray(rng.normal(size=(16, 3)).astype(np.float32))
+    joints = jnp.asarray(rng.uniform(size=(16, 12)).astype(np.float32))
+    g = grasp_vector(rot6, transl, joints)
+    r2, t2, j2 = split_grasp_vector(g)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(rot6), atol=0)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(transl), atol=0)
+    norm = GraspNormalizer.fit(g)
+    gn = norm.normalize(g)
+    np.testing.assert_allclose(np.asarray(gn.mean(axis=0)), 0.0, atol=1e-6)
+    back = norm.denormalize(gn)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(g), atol=1e-6)
+
+
+def test_sampled_grasps_flow_into_engine_scoring():
+    """Diffusion samples → rot6d→matrix → evaluator scoring path."""
+    from dexgangrasp_tpu.engine import folding
+    from dexgangrasp_tpu.engine.pipeline import score_grasps
+    from dexgangrasp_tpu.models.networks import init_evaluator
+
+    model = DexDiffuser(n_blocks=2, hidden=128, cond_dim=64)
+    params = model.init(jax.random.PRNGKey(3))
+    bps = jnp.asarray(rng.uniform(0, 0.2, 4096).astype(np.float32))
+    g = model.sample(params, bps, jax.random.PRNGKey(4), 32, steps=10)
+    rot6, transl, joints = split_grasp_vector(g)
+    R = rot_matrix_from_ortho6d(rot6)
+    eye = np.einsum("bij,bkj->bik", np.asarray(R), np.asarray(R))
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape),
+                               atol=1e-4)
+    _, ep, es = init_evaluator(jax.random.PRNGKey(5))
+    ef = folding.fold_evaluator(ep, es)
+    scores = score_grasps(ef, bps, R, transl, 32)
+    assert scores.shape == (32,)
+    assert np.isfinite(np.asarray(scores)).all()
