@@ -268,7 +268,12 @@ class GanTrainer:
         real_rot_flat = batch["rot_matrix"].astype(jnp.float32).reshape(n, 9)
         real_transl = batch["transl"].astype(jnp.float32)
         real_joints = batch["joint_conf"].astype(jnp.float32)
-        z = jax.random.normal(kz, (n, cfg.latent_dim), jnp.float32)
+        # optional test seam: an explicit latent batch overrides the PRNG
+        # draw so parity tests can feed torch and jax identical z
+        if "z" in batch:
+            z = batch["z"].astype(jnp.float32)
+        else:
+            z = jax.random.normal(kz, (n, cfg.latent_dim), jnp.float32)
 
         # 1. generator forward (train-mode BN), detached for the D phase
         y_fake, gen_state_after = self.gen.apply(
