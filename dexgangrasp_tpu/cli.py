@@ -227,8 +227,7 @@ def sweep(args):
     protocol for every ``{epoch}_gen_net.npz`` in a run dir."""
     import csv
     import glob
-    import sys
-
+    
     epochs = sorted(
         int(os.path.basename(p).split("_")[0])
         for p in glob.glob(os.path.join(args.sweep_dir, "*_gen_net.npz")))

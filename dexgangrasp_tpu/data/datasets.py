@@ -30,7 +30,7 @@ keeps a TPU fed.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import h5py
 import numpy as np

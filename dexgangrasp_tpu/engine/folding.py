@@ -29,10 +29,7 @@ unfolded forward in tests/test_engine.py.  Folded layouts:
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 
 from dexgangrasp_tpu.models.layers import batchnorm_affine, leaky_relu
 

@@ -14,7 +14,7 @@ crops + voxel-decimates (native/dexgg_host.cpp) and feeds one device call.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ the reference's data-dependent boolean indexing (``dexgangrasp.py:418-435``).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
@@ -27,7 +27,7 @@ from dexgangrasp_tpu.core.grasp import Grasps
 from dexgangrasp_tpu.core.rotations import rot_matrix_from_ortho6d
 from dexgangrasp_tpu.core.transforms import translate_along_axis
 from dexgangrasp_tpu.engine import folding
-from dexgangrasp_tpu.ops.bps import BPSEncoder, bps_encode, load_basis, pad_cloud
+from dexgangrasp_tpu.ops.bps import BPSEncoder
 
 DEFAULT_Z_OFFSET = 0.025  # m; reference generate_grasps default (networks.py:257)
 

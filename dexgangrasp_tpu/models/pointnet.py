@@ -15,7 +15,7 @@ layers as the MLP stack; per-point BN normalizes over (batch × points).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

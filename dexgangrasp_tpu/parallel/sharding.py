@@ -17,13 +17,11 @@ CPU devices, or a real pod slice.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-from dexgangrasp_tpu.core.grasp import Grasps
 
 
 def batch_spec(mesh: Mesh) -> P:

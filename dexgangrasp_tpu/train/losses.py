@@ -15,13 +15,12 @@ methods on ``dexgangrasp.py``):
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 from dexgangrasp_tpu.core.rotations import rot_matrix_from_ortho6d
-from dexgangrasp_tpu.core.transforms import transform_points
 
 
 def bce(pred_p: jax.Array, target: jax.Array) -> jax.Array:

@@ -22,7 +22,7 @@ from dexgangrasp_tpu.data.datasets import (
 )
 from dexgangrasp_tpu.data.loader import BatchLoader
 from dexgangrasp_tpu.train import checkpoints as ckpt
-from dexgangrasp_tpu.train.gan import GanTrainer, TrainConfig, set_lr
+from dexgangrasp_tpu.train.gan import GanTrainer, set_lr
 from dexgangrasp_tpu.train.schedule import EarlyStopping, PlateauScheduler
 from dexgangrasp_tpu.utils.config import train_config_from_cfg
 from dexgangrasp_tpu.utils.writer import Writer
