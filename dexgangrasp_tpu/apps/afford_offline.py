@@ -20,9 +20,9 @@ from dexgangrasp_tpu.apps.mask_filter import (
     sort_grasps,
 )
 
-# RealSense D415 1280×720 default intrinsics (reference
-# dexafford_prompt_offline.py pinhole model constants)
-DEFAULT_INTRINSICS = dict(fx=909.199, fy=908.683, cx=650.446, cy=355.504)
+# Rig camera intrinsics used by the reference's replay
+# (dexafford_prompt_offline.py:50-55 camera_matrix)
+DEFAULT_INTRINSICS = dict(fx=952.828, fy=952.828, cx=646.699, cy=342.637)
 
 
 def depth_mask_to_points(depth: np.ndarray, mask: np.ndarray,

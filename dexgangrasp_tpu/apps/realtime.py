@@ -26,6 +26,22 @@ DEFAULT_N_SAMPLES = 400                     # reference :143
 DEFAULT_THRESH = 0.80                       # reference :150
 DEFAULT_NUM_GRASPS = 10                     # reference :160
 
+# The reference rig's calibration, shipped as drop-in defaults
+# (dexgangrasp_real_robot.py:49-58: flange→palm from tf_echo
+# /panda_link8 → /palm_link_robotiq; base→camera extrinsic):
+REFERENCE_FLANGE_T_PALM = np.array([
+    [0.0, 0.0, -1.0, 0.020],
+    [0.0, 1.0, 0.0, 0.000],
+    [1.0, 0.0, 0.0, 0.050],
+    [0.0, 0.0, 0.0, 1.0]])
+REFERENCE_BASE_T_CAM = np.array([
+    [0.99993021, -0.00887332, -0.00779972, 0.31846705],
+    [0.00500804, -0.27958850, 0.96010686, -1.10184744],
+    [-0.01070005, -0.96007892, -0.27952455, 0.50819482],
+    [0.0, 0.0, 0.0, 1.0]])
+# reference ROI for the cupboard-grasping scene (:66-68)
+REFERENCE_ROI = (slice(200, 630), slice(530, 930))
+
 
 class Camera(Protocol):
     def capture(self) -> Dict:
