@@ -44,6 +44,9 @@ def train_main():
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--train-evaluator", action="store_true")
+    ap.add_argument("--model", default="gan",
+                    choices=["gan", "vae", "diffusion"],
+                    help="generator family (gan = reference architecture)")
     ap.add_argument("--dp", action="store_true",
                     help="data-parallel over all visible devices")
     args = ap.parse_args()
@@ -69,6 +72,17 @@ def train_main():
 
     cfg = Config(args.config, overrides=overrides).parse()
     print(f"save_dir: {cfg['save_dir']}")
+
+    if args.model == "vae":
+        from dexgangrasp_tpu.train.families import train_vae
+
+        print("final:", train_vae(cfg))
+        return
+    if args.model == "diffusion":
+        from dexgangrasp_tpu.train.families import train_diffusion
+
+        print("final:", train_diffusion(cfg))
+        return
 
     mesh = None
     if args.dp:
@@ -106,7 +120,9 @@ def load_engine(gen_path, eva_path, basis_path=None):
     elif gen_path:
         trees, _ = ckpt.load_pytrees(gen_path)
         gp, gs = trees["gen_params"], trees["gen_state"]
-        dp, ds = trees["disc_params"], trees["disc_state"]
+        # VAE-family checkpoints expose their decoder under the same keys
+        # but carry no discriminator
+        dp, ds = trees.get("disc_params"), trees.get("disc_state")
     else:  # fresh weights (structure-parity runs without checkpoints)
         from dexgangrasp_tpu.models.networks import init_dexgan
 
