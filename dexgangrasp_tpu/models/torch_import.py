@@ -165,3 +165,29 @@ def evaluator_to_torch_sd(params, state) -> Dict:
     _resblock_to_sd(out, "rb3", params["rb3"], state["rb3"])
     _linear_to_sd(out, "out_success", params["out"])
     return out
+
+
+def save_reference_gen_checkpoint(path: str, gen_params, gen_state,
+                                  disc_params, disc_state,
+                                  epoch: int = 0) -> str:
+    """Write a ``*_gen_net.pt`` the reference's DexGanGrasp.load_dexgenerator
+    can consume (legacy 'ffhgenerator_state_dict' key, dexgangrasp.py:607).
+
+    Optimizer/scheduler state dicts are omitted — the reference only needs
+    them for continue_train; eval-mode loading reads the net dict alone."""
+    import torch
+
+    sd = dexgan_to_torch_sd(gen_params, gen_state, disc_params, disc_state)
+    torch.save({"epoch": epoch, "ffhgenerator_state_dict": sd}, path)
+    return path
+
+
+def save_reference_eva_checkpoint(path: str, params, state,
+                                  epoch: int = 0) -> str:
+    """Write a ``*_eva_net.pt`` in the reference layout
+    ('ffhevaluator_state_dict', dexgangrasp.py:677)."""
+    import torch
+
+    sd = evaluator_to_torch_sd(params, state)
+    torch.save({"epoch": epoch, "ffhevaluator_state_dict": sd}, path)
+    return path

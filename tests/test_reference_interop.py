@@ -97,6 +97,39 @@ def test_checkpoint_roundtrip_through_engine(reference_ckpts):
                                R.numpy()[order], atol=1e-4)
 
 
+def test_export_roundtrip_through_pt_files(reference_ckpts, tmp_path):
+    """our params → reference-layout .pt files → re-import → identical."""
+    from dexgangrasp_tpu.models.torch_import import (
+        save_reference_eva_checkpoint,
+        save_reference_gen_checkpoint,
+    )
+
+    d, gen_t, disc_t, eva_t = reference_ckpts
+    gp, gs, dp, ds, _ = load_reference_gen_checkpoint(d + "/32_gen_net.pt")
+    ep, es, _ = load_reference_eva_checkpoint(d + "/30_eva_net.pt")
+    p1 = save_reference_gen_checkpoint(str(tmp_path / "9_gen_net.pt"),
+                                       gp, gs, dp, ds, epoch=9)
+    p2 = save_reference_eva_checkpoint(str(tmp_path / "9_eva_net.pt"),
+                                       ep, es, epoch=9)
+    gp2, gs2, dp2, ds2, epoch = load_reference_gen_checkpoint(p1)
+    ep2, es2, epoch_e = load_reference_eva_checkpoint(p2)
+    assert epoch == 9 and epoch_e == 9
+    import jax
+
+    for a, b in zip(jax.tree.leaves((gp, gs, dp, ds, ep, es)),
+                    jax.tree.leaves((gp2, gs2, dp2, ds2, ep2, es2))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    # and torch itself can load the exported state dict into the oracle
+    import torch
+
+    sd = torch.load(p1, map_location="cpu",
+                    weights_only=False)["ffhgenerator_state_dict"]
+    gen_new = type(gen_t)()
+    gen_new.load_state_dict(
+        {k.replace("generator.", ""): v for k, v in sd.items()
+         if k.startswith("generator.")})
+
+
 def test_discriminator_scorer_matches_torch(reference_ckpts):
     d, gen_t, disc_t, eva_t = reference_ckpts
     gp, gs, dp, ds, _ = load_reference_gen_checkpoint(d + "/32_gen_net.pt")
