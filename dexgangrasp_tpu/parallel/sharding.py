@@ -34,7 +34,6 @@ def replicated_spec() -> P:
 
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
     """Put a host batch onto the mesh, leading axis sharded over 'data'."""
-    sh = NamedSharding(mesh, batch_spec(mesh))
     out = {}
     for k, v in batch.items():
         if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1:
@@ -57,7 +56,6 @@ def _resblock_specs(has_model_axis: bool) -> Dict:
     """PartitionSpecs for one ResBlock's params.  Column-parallel fc1/fc3
     (output dim sharded), row-parallel fc2 (input dim sharded)."""
     if not has_model_axis:
-        n = None
         return {
             "fc1": {"w": P(), "b": P()}, "fc2": {"w": P(), "b": P()},
             "fc3": {"w": P(), "b": P()},
@@ -131,7 +129,6 @@ def sharded_gan_step(trainer, mesh: Mesh):
     'data', train state replicated (tp specs can be layered via device_put
     of the state before calling).  Gradient psums over 'data' are inserted
     by GSPMD."""
-    bspec = NamedSharding(mesh, batch_spec(mesh))
     rep = NamedSharding(mesh, P())
 
     def place_batch(batch):
@@ -164,7 +161,6 @@ def sharded_sample_and_score(mesh: Mesh):
     def run(gen_folded, eva_folded, bps, key, n):
         g = sample_and_score(gen_folded, eva_folded, bps, key, n)
         # constrain the outputs to stay sharded over the grasp axis
-        shard = NamedSharding(mesh, P(axis))
         return jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(
                 x, NamedSharding(mesh, P(*((axis,) + (None,) * (x.ndim - 1)))))

@@ -24,13 +24,6 @@ import jax
 import jax.numpy as jnp
 
 
-def _flatten(tree: Any, prefix: str, out: Dict[str, np.ndarray]) -> None:
-    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
-    for path, leaf in flat:
-        key = prefix + jax.tree_util.keystr(path)
-        out[key] = np.asarray(leaf)
-
-
 def save_pytrees(path: str, trees: Dict[str, Any],
                  meta: Optional[dict] = None) -> None:
     """Save named pytrees + JSON-able metadata into one npz.

@@ -139,7 +139,8 @@ class TrainDriver:
                             epoch, i, logs, time.time() - t0, t_data)
                         self.writer.plot_train_loss(logs, global_step)
                     t_data0 = time.time()
-                epoch_logs = _mean_logs(logs_acc)
+                self.writer.plot_train_loss(_mean_logs(logs_acc),
+                                            global_step)
             # ---- evaluator epoch
             if eva_ds is not None:
                 loader = BatchLoader(eva_ds, cfg["batch_size"],
@@ -150,7 +151,8 @@ class TrainDriver:
                     self.eva_ts, logs = self.trainer.evaluator_step(
                         self.eva_ts, _to_jax(batch), k)
                     logs_acc.append(logs)
-                epoch_logs_eva = _mean_logs(logs_acc)
+                self.writer.plot_train_loss(_mean_logs(logs_acc),
+                                            global_step)
 
             # ---- periodic eval + checkpoint + schedules
             if epoch % cfg["save_freq"] == 0 or epoch == num_epochs:
