@@ -136,18 +136,21 @@ def generator_apply_folded(folded: dict, ctx: dict, z: jax.Array):
 # ------------------------------------------------------- evaluator / critic
 
 
-def fold_evaluator(params: dict, state: dict) -> dict:
-    """DexEvaluator (networks.py:278-337) → folded.  Input X0 =
-    [bps(4096), pose(12)]; rb2/rb3 consume [X, X0] (X first!)."""
+def _fold_pose_network(params: dict, state: dict, bn_key: str,
+                       rb_names, x_first: bool) -> dict:
+    """Shared folding for the pose-scoring networks (evaluator and
+    discriminator differ only in their input BN key, ResBlock count, and
+    skip-concat order: evaluator rb2/rb3 consume [X, X0], discriminator rb2
+    consumes [X0, X] — reference networks.py:330-332 vs :154)."""
     n = params["rb1"]["fc2"]["w"].shape[1]
     pose = params["rb1"]["fc1"]["w"].shape[0] - IN_BPS
-    bn = batchnorm_affine(params["bn1"], state["bn1"])
-    # input BN spans [bps, pose]; split affine accordingly
-    k, c = bn
+    k, c = batchnorm_affine(params[bn_key], state[bn_key])
+    # input BN spans [bps, pose]; split the affine accordingly
     bn_bps = (k[:IN_BPS], c[:IN_BPS])
     bn_pose = (k[IN_BPS:], c[IN_BPS:])
     segs1 = [("bps", IN_BPS), ("pose", pose)]
-    segs2 = [("x", n), ("bps", IN_BPS), ("pose", pose)]
+    segs2 = ([("x", n), ("bps", IN_BPS), ("pose", pose)] if x_first
+             else [("bps", IN_BPS), ("pose", pose), ("x", n)])
 
     def fold_rb(p, s, segs):
         out = _fold_resblock(p, s, segs, bn_bps)
@@ -159,12 +162,18 @@ def fold_evaluator(params: dict, state: dict) -> dict:
             out[wk] = kp[:, None] * out[wk]
         return out
 
-    return {
-        "rb1": fold_rb(params["rb1"], state["rb1"], segs1),
-        "rb2": fold_rb(params["rb2"], state["rb2"], segs2),
-        "rb3": fold_rb(params["rb3"], state["rb3"], segs2),
-        "out": dict(params["out"]),
-    }
+    folded = {"out": dict(params["out"])}
+    for i, name in enumerate(rb_names):
+        folded[name] = fold_rb(params[name], state[name],
+                               segs1 if i == 0 else segs2)
+    return folded
+
+
+def fold_evaluator(params: dict, state: dict) -> dict:
+    """DexEvaluator (networks.py:278-337) → folded.  Input X0 =
+    [bps(4096), pose(12)]; rb2/rb3 consume [X, X0] (X first!)."""
+    return _fold_pose_network(params, state, "bn1", ("rb1", "rb2", "rb3"),
+                              x_first=True)
 
 
 def evaluator_object_context(folded: dict, bps: jax.Array) -> dict:
@@ -205,28 +214,8 @@ def evaluator_apply_folded(folded: dict, ctx: dict, pose: jax.Array,
 def fold_discriminator(params: dict, state: dict) -> dict:
     """DexDiscriminator (networks.py:105-159) → folded.  Input X0 =
     [bps(4096), pose(24)]; rb2 consumes [X0, X] (X0 first)."""
-    n = params["rb1"]["fc2"]["w"].shape[1]
-    pose = params["rb1"]["fc1"]["w"].shape[0] - IN_BPS
-    k, c = batchnorm_affine(params["bn0"], state["bn0"])
-    bn_bps = (k[:IN_BPS], c[:IN_BPS])
-    bn_pose = (k[IN_BPS:], c[IN_BPS:])
-    segs1 = [("bps", IN_BPS), ("pose", pose)]
-    segs2 = [("bps", IN_BPS), ("pose", pose), ("x", n)]
-
-    def fold_rb(p, s, segs):
-        out = _fold_resblock(p, s, segs, bn_bps)
-        for wk in ("w1_pose", "w3_pose"):
-            bk = "b1" if wk.startswith("w1") else "b3"
-            kp, cp = bn_pose
-            out[bk] = out[bk] + cp @ out[wk]
-            out[wk] = kp[:, None] * out[wk]
-        return out
-
-    return {
-        "rb1": fold_rb(params["rb1"], state["rb1"], segs1),
-        "rb2": fold_rb(params["rb2"], state["rb2"], segs2),
-        "out": dict(params["out"]),
-    }
+    return _fold_pose_network(params, state, "bn0", ("rb1", "rb2"),
+                              x_first=False)
 
 
 def discriminator_object_context(folded: dict, bps: jax.Array) -> dict:
