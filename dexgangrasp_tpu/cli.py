@@ -108,37 +108,11 @@ import numpy as np
 
 
 def load_engine(gen_path, eva_path, basis_path=None):
-    import jax
-
+    """Thin wrapper over GraspEngine.from_checkpoints (kept as the CLI's
+    loading seam; apps import it by this name)."""
     from dexgangrasp_tpu.engine.pipeline import GraspEngine
-    from dexgangrasp_tpu.models import torch_import
-    from dexgangrasp_tpu.ops.bps import load_basis
-    from dexgangrasp_tpu.train import checkpoints as ckpt
 
-    if gen_path and gen_path.endswith(".pt"):
-        gp, gs, dp, ds, _ = torch_import.load_reference_gen_checkpoint(gen_path)
-    elif gen_path:
-        trees, _ = ckpt.load_pytrees(gen_path)
-        gp, gs = trees["gen_params"], trees["gen_state"]
-        # VAE-family checkpoints expose their decoder under the same keys
-        # but carry no discriminator
-        dp, ds = trees.get("disc_params"), trees.get("disc_state")
-    else:  # fresh weights (structure-parity runs without checkpoints)
-        from dexgangrasp_tpu.models.networks import init_dexgan
-
-        (_, gp, gs), (_, dp, ds) = init_dexgan(jax.random.PRNGKey(0))
-    if eva_path and eva_path.endswith(".pt"):
-        ep, es, _ = torch_import.load_reference_eva_checkpoint(eva_path)
-    elif eva_path:
-        trees, _ = ckpt.load_pytrees(eva_path)
-        ep, es = trees["params"], trees["state"]
-    else:
-        from dexgangrasp_tpu.models.networks import init_evaluator
-
-        _, ep, es = init_evaluator(jax.random.PRNGKey(1))
-    basis = load_basis(basis_path) if basis_path else None
-    return GraspEngine(gp, gs, ep, es, disc_params=dp, disc_state=ds,
-                       basis=basis)
+    return GraspEngine.from_checkpoints(gen_path, eva_path, basis_path)
 
 
 def run_filter(engine, bps, grasps, n_samples, thresh_list, use_disc):

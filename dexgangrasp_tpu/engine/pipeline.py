@@ -168,6 +168,46 @@ class GraspEngine:
         self.z_offset = z_offset
         self._key = jax.random.PRNGKey(0)
 
+    @classmethod
+    def from_checkpoints(cls, gen_path: Optional[str] = None,
+                         eva_path: Optional[str] = None,
+                         basis_path: Optional[str] = None, **kw
+                         ) -> "GraspEngine":
+        """Build an engine from checkpoint files.
+
+        Accepts native .npz checkpoints (GAN runs or VAE runs — both expose
+        gen_params/gen_state) and reference-format .pt files (legacy ffh*
+        keys).  Missing paths fall back to fresh-initialized weights.
+        """
+        from dexgangrasp_tpu.models import torch_import
+        from dexgangrasp_tpu.ops.bps import load_basis
+        from dexgangrasp_tpu.train import checkpoints as ckpt
+
+        dp = ds = None
+        if gen_path and gen_path.endswith(".pt"):
+            gp, gs, dp, ds, _ = torch_import.load_reference_gen_checkpoint(
+                gen_path)
+        elif gen_path:
+            trees, _ = ckpt.load_pytrees(gen_path)
+            gp, gs = trees["gen_params"], trees["gen_state"]
+            dp, ds = trees.get("disc_params"), trees.get("disc_state")
+        else:
+            from dexgangrasp_tpu.models.networks import init_dexgan
+
+            (_, gp, gs), (_, dp, ds) = init_dexgan(jax.random.PRNGKey(0))
+        if eva_path and eva_path.endswith(".pt"):
+            ep, es, _ = torch_import.load_reference_eva_checkpoint(eva_path)
+        elif eva_path:
+            trees, _ = ckpt.load_pytrees(eva_path)
+            ep, es = trees["params"], trees["state"]
+        else:
+            from dexgangrasp_tpu.models.networks import init_evaluator
+
+            _, ep, es = init_evaluator(jax.random.PRNGKey(1))
+        basis = load_basis(basis_path) if basis_path else None
+        return cls(gp, gs, ep, es, disc_params=dp, disc_state=ds,
+                   basis=basis, **kw)
+
     def _next_key(self, seed: Optional[int]) -> jax.Array:
         if seed is not None:
             return jax.random.PRNGKey(seed)
