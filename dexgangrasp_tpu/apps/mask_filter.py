@@ -31,7 +31,14 @@ def part_points_from_mask(obj_pcd_np: np.ndarray, mask: np.ndarray,
 def rank_grasps_by_part(grasps: Dict, part_points: np.ndarray
                         ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (sorted_grasp_indices, part_centroid (1,3)); nearest first
-    (reference :115-130)."""
+    (reference :115-130).
+
+    Raises ValueError on an empty part cloud (the reference silently
+    produces a NaN centroid and NaN-sorts all grasps)."""
+    if part_points.shape[0] == 0:
+        raise ValueError(
+            "empty part cloud after workspace clipping — the mask matched "
+            "no points within ±0.2 m of the object center")
     centroid = part_points.mean(axis=0).reshape(1, 3)
     d2 = ((np.asarray(grasps["transl"]) - centroid) ** 2).sum(axis=1)
     return np.argsort(d2), centroid

@@ -98,11 +98,7 @@ def train_main():
     print("final eval:", final)
 
 
-
-
-import argparse
 import math
-import os
 
 import numpy as np
 
