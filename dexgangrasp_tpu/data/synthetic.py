@@ -151,10 +151,19 @@ def build_synthetic_dataset(
             os.makedirs(bps_dir, exist_ok=True)
             os.makedirs(pcd_dir, exist_ok=True)
             for vi in range(views_per_object):
-                # each view: small rotation jitter of the cloud
+                # single-view realism (the reference's clouds are one-camera
+                # renders): keep the half of the surface facing a random
+                # view direction, plus small pose jitter.  Near-identical
+                # views would otherwise make every view's BPS an object-
+                # identity signature — a shortcut that stalls evaluator
+                # training (see docs/RESULTS.md).
+                view_dir = rng.normal(size=3)
+                view_dir /= np.linalg.norm(view_dir)
+                visible = cloud @ view_dir < np.median(cloud @ view_dir)
+                view_cloud = cloud[visible]
                 view_R = _Rot.from_rotvec(
                     rng.normal(size=3) * 0.05).as_matrix()
-                view_cloud = (view_R @ cloud.T).T.astype(np.float32)
+                view_cloud = (view_R @ view_cloud.T).T.astype(np.float32)
                 enc = encoder.encode(view_cloud, check_centered=True)
                 stem = f"{obj}_bps{vi:03d}"
                 np.save(os.path.join(bps_dir, stem + ".npy"),
