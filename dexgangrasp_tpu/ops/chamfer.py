@@ -49,8 +49,32 @@ def chamfer_distance_xla(a: jax.Array, b: jax.Array, block: int = 2048,
     return jnp.mean(one_sided(a, b)) + jnp.mean(one_sided(b, a))
 
 
+def chamfer_distance_pallas(a: jax.Array, b: jax.Array,
+                            squared: bool = True) -> jax.Array:
+    """Pallas TPU path: chamfer is two one-sided min-distance passes, which
+    is exactly the BPS kernel's tiled fused min-reduction (ops/bps.py) run
+    in both directions.
+
+    Shapes must satisfy the kernel's tiling (rows of ``a`` % 512 == 0 and
+    rows of ``b`` % 1024 == 0, and vice versa — pad with ops.bps.PAD_VALUE
+    via ``pad_cloud`` and mask afterwards if needed); use
+    ``chamfer_distance`` for arbitrary shapes.
+    """
+    d_ab = _bps.bps_encode_pallas(a, b)  # for each a-row: min dist to b
+    d_ba = _bps.bps_encode_pallas(b, a)
+    if squared:
+        return jnp.mean(d_ab ** 2) + jnp.mean(d_ba ** 2)
+    return jnp.mean(d_ab) + jnp.mean(d_ba)
+
+
 def chamfer_distance(a: jax.Array, b: jax.Array, squared: bool = True
                      ) -> jax.Array:
-    """Dispatcher (currently XLA path everywhere; the blocked scan already
-    keeps the distance matrix out of HBM and feeds the MXU)."""
+    """Dispatcher: Pallas kernel on TPU when the tiling divides, blocked
+    XLA scan otherwise."""
+    if (_bps._on_tpu()
+            and a.shape[0] % _bps._TILE_B == 0
+            and b.shape[0] % _bps._TILE_N == 0
+            and b.shape[0] % _bps._TILE_B == 0
+            and a.shape[0] % _bps._TILE_N == 0):
+        return chamfer_distance_pallas(a, b, squared=squared)
     return chamfer_distance_xla(a, b, squared=squared)
