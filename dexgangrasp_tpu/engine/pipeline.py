@@ -214,6 +214,21 @@ class GraspEngine:
         self._key, k = jax.random.split(self._key)
         return k
 
+    def warmup(self, n_samples_list, top_k: int = 0) -> None:
+        """Precompile the fused programs for the given sample counts so the
+        first serving request pays no compile latency (first compiles can
+        take tens of seconds on a cold cache)."""
+        bps = jnp.zeros((4096,), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        for n in n_samples_list:
+            if top_k:
+                out = sample_and_topk(self.gen_folded, self.eva_folded, bps,
+                                      key, n, top_k, z_offset=self.z_offset)
+            else:
+                out = sample_and_score(self.gen_folded, self.eva_folded,
+                                       bps, key, n, z_offset=self.z_offset)
+            jax.block_until_ready(out.score)
+
     # ------------------------------------------------------------- encode
 
     def encode_pcd(self, points: np.ndarray) -> jax.Array:

@@ -70,6 +70,24 @@ def magd_for_grasp_distribution(pred: Dict, gt: Dict
             float(joint_loss.sum()), float(coverage))
 
 
+def magd_bidirectional(pred: Dict, gt: Dict) -> Dict:
+    """Analysis extension: MAGD in both matching directions.
+
+    The reference metric matches each *prediction* to its nearest GT, which
+    rewards mode collapse (a single near-centroid prediction scores well);
+    the reverse direction (each GT to its nearest prediction) measures how
+    well the predicted set covers the GT distribution.  Returns both sums
+    plus the standard coverage."""
+    fwd = magd_for_grasp_distribution(dict(pred), dict(gt))
+    bwd = magd_for_grasp_distribution(dict(gt), dict(pred))
+    return {
+        "transl_pred2gt": fwd[0], "rot_pred2gt": fwd[1],
+        "joint_pred2gt": fwd[2], "coverage": fwd[3],
+        "transl_gt2pred": bwd[0], "rot_gt2pred": bwd[1],
+        "joint_gt2pred": bwd[2],
+    }
+
+
 @jax.jit
 def magd_jax(p_t, p_r, p_j, g_t, g_r, g_j):
     """On-device MAGD (f32); same matching rule. Returns
