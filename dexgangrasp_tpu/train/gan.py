@@ -69,6 +69,12 @@ class TrainConfig:
     is_wgan: bool = False
     gp_gain: float = 10.0
     gp_alpha_normal: bool = True  # reference quirk dexgangrasp.py:152
+    # the reference's Wasserstein losses consume SIGMOID-squashed
+    # discriminator outputs (networks.py:157 applies sigmoid
+    # unconditionally; dexgangrasp.py:199-211 takes means of those) —
+    # unusual for a WGAN critic but reference-faithful.  Set True for the
+    # textbook raw-critic formulation.
+    wgan_raw_critic: bool = False
     gen_train_freq: int = 1
     init_type: str = "xavier"
     init_gain: float = 0.02
@@ -132,8 +138,9 @@ class GanTrainer:
     def __init__(self, cfg: TrainConfig = TrainConfig()):
         self.cfg = cfg
         self.gen = DexGenerator(latent_dim=cfg.latent_dim, n_joints=cfg.n_joints)
-        self.disc = DexDiscriminator(n_joints=cfg.n_joints,
-                                     sigmoid=not cfg.is_wgan)
+        self.disc = DexDiscriminator(
+            n_joints=cfg.n_joints,
+            sigmoid=not (cfg.is_wgan and cfg.wgan_raw_critic))
         self.eva = DexEvaluator()
         self.gen_tx = make_optimizer(cfg.lr_gen, cfg.beta1, cfg.weight_decay)
         self.disc_tx = make_optimizer(cfg.lr_dis, cfg.beta1, cfg.weight_decay)
@@ -284,13 +291,18 @@ class GanTrainer:
         fake_joints = jax.lax.stop_gradient(y_fake.joint_conf)
 
         # 2-3. discriminator update
+        # BCE path consumes logits (stable fused BCE, same math);
+        # the WGAN path consumes the discriminator's own output — which in
+        # the reference is sigmoid-squashed (networks.py:157)
+        ret_logits = not cfg.is_wgan
+
         def disc_loss_fn(disc_params):
             real_score, ds1 = self.disc.apply(
                 disc_params, ts.disc_state, bps, real_rot_flat, real_transl,
-                real_joints, train=True, return_logits=True)
+                real_joints, train=True, return_logits=ret_logits)
             fake_score, ds2 = self.disc.apply(
                 disc_params, ds1, bps, fake_rot_flat, fake_transl,
-                fake_joints, train=True, return_logits=True)
+                fake_joints, train=True, return_logits=ret_logits)
             gp = (self._gradient_penalty(
                 disc_params, ts.disc_state, kgp, bps,
                 real_rot_flat, real_transl, real_joints,
@@ -313,7 +325,8 @@ class GanTrainer:
                 rot_mat_flat = rot_matrix_from_ortho6d(yf.rot_6d).reshape(n, 9)
                 fake_score, ds3 = self.disc.apply(
                     disc_params, disc_state_after, bps, rot_mat_flat,
-                    yf.transl, yf.joint_conf, train=True, return_logits=True)
+                    yf.transl, yf.joint_conf, train=True,
+                    return_logits=not cfg.is_wgan)
                 if cfg.is_wgan:
                     adv = -jnp.mean(fake_score)
                 else:
@@ -394,7 +407,7 @@ class GanTrainer:
         rot_mat_flat = rot_matrix_from_ortho6d(yf.rot_6d).reshape(n, 9)
         fake_score, _ = self.disc.apply(
             ts.disc_params, ts.disc_state, bps, rot_mat_flat, yf.transl,
-            yf.joint_conf, train=False, return_logits=True)
+            yf.joint_conf, train=False, return_logits=not cfg.is_wgan)
         if cfg.is_wgan:
             adv = -jnp.mean(fake_score)
         else:
