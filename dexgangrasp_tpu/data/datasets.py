@@ -254,7 +254,9 @@ class DexEvaluatorDataSet(_BaseDataSet):
             obj_path = os.path.join(self.objs_folder, obj)
             if not os.path.isdir(obj_path):
                 continue
-            n_total = n_success / self.POS_RATIO
+            # reference uses floor division by the float ratio
+            # (dexevaluator_data_set.py:72: n_success // self.pos_ratio)
+            n_total = n_success // self.POS_RATIO
             for f_name in sorted(os.listdir(obj_path)):
                 if "bps" not in f_name:
                     continue
