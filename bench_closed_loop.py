@@ -61,15 +61,15 @@ def main():
     from dexgangrasp_tpu.engine.frame_pipeline import frame_to_grasps
     from dexgangrasp_tpu.ops.bps import load_basis, pad_cloud
 
-    PAD_N = 16384
+    PAD_N = 8192
     basis = jnp.asarray(load_basis())
 
     def one_frame(seed):
         with timer.stage("roi+voxel (host)"):
             pts = frame[roi]
-            # decimate ~215k → ≤16k points; 4 mm voxels keep grasp-relevant
-            # geometry
-            pts = native.voxel_downsample(pts, 0.004)
+            # decimate ~215k → ≤16k points; 6 mm voxels measured best in the
+            # voxel×pad parameter study (same fps as 4 mm at half the pad)
+            pts = native.voxel_downsample(pts, 0.006)
             n_valid = min(pts.shape[0], PAD_N)
             padded = pad_cloud(pts, PAD_N)
         with timer.stage("frame_to_grasps (one device program)"):
