@@ -104,6 +104,45 @@ def sample_and_topk(gen_folded: dict, eva_folded: dict, bps: jax.Array,
     return g.take(order)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "candidates"))
+def diverse_topk(score: jax.Array, transl: jax.Array, k: int,
+                 min_dist: float = 0.02, candidates: int = 256) -> jax.Array:
+    """Diversity-aware selection: greedy top-k by score subject to a
+    minimum translation separation (a serving upgrade over the reference's
+    plain top-10 slice, which often returns near-duplicate grasps — a
+    failed pick's fallback should be a *different* grasp).
+
+    Greedy over the ``candidates`` best-scored grasps: pick the best
+    remaining whose distance to every already-picked grasp ≥ min_dist;
+    if none qualifies, fall back to the best remaining (so exactly k are
+    always returned).  Returns (k,) indices into the input arrays.
+    """
+    cand_scores, cand_idx = jax.lax.top_k(score, candidates)
+    cand_t = transl[cand_idx]
+
+    def body(carry, _):
+        picked_mask, picked_pts, n_picked = carry
+        # distance of every candidate to its nearest already-picked grasp
+        d2 = jnp.sum((cand_t[:, None, :] - picked_pts[None, :, :]) ** 2,
+                     axis=-1)
+        slot_valid = jnp.arange(picked_pts.shape[0]) < n_picked
+        min_d2 = jnp.min(jnp.where(slot_valid[None, :], d2, jnp.inf), axis=1)
+        ok = (~picked_mask) & (min_d2 >= min_dist * min_dist)
+        any_ok = jnp.any(ok)
+        usable = jnp.where(any_ok, ok, ~picked_mask)
+        # best-scored usable candidate (cand_scores sorted desc → argmax of
+        # usable with score tiebreak = first usable index)
+        pick = jnp.argmax(jnp.where(usable, cand_scores, -jnp.inf))
+        picked_mask = picked_mask.at[pick].set(True)
+        picked_pts = picked_pts.at[n_picked].set(cand_t[pick])
+        return (picked_mask, picked_pts, n_picked + 1), pick
+
+    init = (jnp.zeros((candidates,), bool),
+            jnp.full((k, 3), jnp.inf, transl.dtype), jnp.asarray(0))
+    _, picks = jax.lax.scan(body, init, None, length=k)
+    return cand_idx[picks]
+
+
 @functools.partial(jax.jit, static_argnames=("n", "top_k", "exact"))
 def sample_and_topk_multi(gen_folded: dict, eva_folded: dict,
                           bps_batch: jax.Array, key: jax.Array, n: int,
