@@ -16,7 +16,12 @@ import numpy as np
 
 
 def _t2n(t) -> np.ndarray:
-    return np.asarray(t.detach().cpu().numpy(), dtype=np.float32)
+    # IMPORTANT: copy, don't view.  ``tensor.numpy()`` aliases the live
+    # torch storage; CPU jax zero-copies aligned numpy arrays into jit
+    # inputs, so a later in-place torch mutation (optimizer step, train-mode
+    # BN forward) would race against asynchronously executing jax programs
+    # still reading that memory.
+    return np.array(t.detach().cpu().numpy(), dtype=np.float32, copy=True)
 
 
 def _linear_from_sd(sd: dict, prefix: str) -> dict:

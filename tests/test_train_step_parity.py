@@ -157,8 +157,18 @@ def test_one_gan_step_matches_torch():
     check(ts2.gen_params["bn0"]["scale"], gp2["bn0"]["scale"], "gen.bn0.scale")
     check(ts2.disc_params["out"]["w"], dp2["out"]["w"], "disc.out.w")
 
-    # BN running stats after the step agree too
+    # BN running stats after the step agree too.  bn0 consumes the raw bps
+    # batch, so its expected post-step running mean is analytic:
+    # 0.9·init + 0.1·batch_mean — compare BOTH sides against it so a rare
+    # in-suite flake identifies which side deviated.
     gs2_t = generator_from_torch_sd(gen_t.state_dict(), prefix="")[1]
+    init_mean = np.asarray(ts.gen_state["bn0"]["mean"])
+    analytic = 0.9 * init_mean + 0.1 * batch_np["bps_object"].mean(axis=0)
+    ours_dev = np.abs(np.asarray(ts2.gen_state["bn0"]["mean"]) - analytic).max()
+    theirs_dev = np.abs(np.asarray(gs2_t["bn0"]["mean"]) - analytic).max()
+    assert ours_dev < 1e-5, f"OUR bn0.mean deviates analytically: {ours_dev}"
+    assert theirs_dev < 1e-5, \
+        f"TORCH-ORACLE bn0.mean deviates analytically: {theirs_dev}"
     check(ts2.gen_state["bn0"]["mean"], gs2_t["bn0"]["mean"], "gen.bn0.mean")
     check(ts2.gen_state["rb2"]["bn2"]["var"], gs2_t["rb2"]["bn2"]["var"],
           "gen.rb2.bn2.var")
