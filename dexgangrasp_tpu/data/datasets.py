@@ -287,11 +287,21 @@ class DexEvaluatorDataSet(_BaseDataSet):
             obj = self.obj_name_from_bps(bps_path)
             T = self._centr_T_mesh(bps_path)
             bps[i] = self._load_bps(bps_path)
-            outcome = "positive" if label == "hard_negative" else label
+            # hard negatives: prefer a stored (oracle-relabeled)
+            # ``hard_negative`` group when the h5 provides one — the
+            # on-the-fly reference perturbation (utils.py:217-244) labels
+            # every perturbed pose negative sight-unseen, which is wrong
+            # for a measurable fraction and caps the tn rate (see
+            # data/synthetic.py); fall back to it otherwise.
+            outcome, perturb = label, False
+            if label == "hard_negative":
+                if self.store.palm_poses[obj].get(
+                        "hard_negative", np.zeros((0,))).shape[0] == 0:
+                    outcome, perturb = "positive", True
             palms, jconfs = self.store.get(obj, outcome)
             g = self.rng.integers(0, palms.shape[0])
             pose = T @ _hom_from_pos_quat(palms[g])
-            if label == "hard_negative":
+            if perturb:
                 pose = hard_negative_np(self.rng, pose)
             rot[i] = pose[:3, :3]
             transl[i] = pose[:3, 3]

@@ -7,23 +7,40 @@ framework ships a generator that produces a structurally identical dataset:
     data_dir/{metadata.csv, grasp_data_all.h5, pcd_transforms.h5,
               {train,eval}/{bps,pcd}/<obj>/...}
 
-Objects are random superquadric-ish surfaces; positive grasps approach the
-surface with palm x-axis toward the centroid (matching the z_offset back-off
-convention); negatives are perturbed/displaced poses.  Labels are
-*geometrically consistent* (a pose's label is a deterministic function of
-its distance/orientation error), so the evaluator has real signal to learn
-and end-to-end train/eval tests are meaningful, not noise-fitting.
+Objects are random superquadric-ish surfaces.  Grasp labels come from the
+contact/collision oracle in ``data/grasp_geometry.py``: all candidate poses
+are drawn from ONE distribution (palm offset outward from a random surface
+anchor, approach axis pointing back at it with angular jitter) and the
+label is the deterministic geometric outcome of closing a proxy gripper
+at that pose — the analogue of the reference's simulation-grounded
+outcomes.  Because the outcome depends on where the *surface* actually is,
+the same pose flips label across objects of different extents: a success
+classifier must use the BPS encoding, not pose statistics (the round-1
+synthetic set was pose-separable, which stalled evaluator training —
+VERDICT r1 §missing-1).
+
+Hard negatives are the reference's ±3 cm / ±0.6 rad perturbations of
+positives (``utils.py:217-244``) — but *re-labeled* by the oracle and only
+kept if they actually fail, then stored under a ``hard_negative`` h5 group.
+The reference labels every perturbation negative sight-unseen, which makes
+a fraction of its hard negatives false (a 3 cm shift often still grasps);
+grounded relabeling removes that ceiling on the measurable tn rate.
 """
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 from scipy.spatial.transform import Rotation as _Rot
 
 import jax
 
+from dexgangrasp_tpu.data.grasp_geometry import (
+    GripperParams,
+    grasp_outcomes,
+    joints_from_depth,
+)
 from dexgangrasp_tpu.data.grasp_store import write_grasp_h5
 from dexgangrasp_tpu.ops.bps import BPSEncoder, generate_basis
 from dexgangrasp_tpu.utils.pcd import save_pcd
@@ -46,45 +63,98 @@ def _superquadric_cloud(rng, n_points: int) -> np.ndarray:
     return (pts - pts.mean(0)).astype(np.float32)
 
 
-def _grasp_label_params(rng, cloud: np.ndarray, n: int, positive: bool):
-    """Sample grasp poses in the *centroid* frame.
-
-    Positive: palm ~6-10 cm from a surface point, x-axis pointing at the
-    centroid with ≤0.25 rad error, joints a smooth function of approach
-    distance.  Negative: 1.5-3× that distance or ≥0.7 rad misaligned.
-    """
-    idx = rng.integers(0, cloud.shape[0], n)
-    anchor = cloud[idx]
-    dirs = anchor / np.maximum(np.linalg.norm(anchor, axis=1, keepdims=True),
-                               1e-6)
-    if positive:
-        dist = rng.uniform(0.06, 0.10, (n, 1))
-        ang_err = rng.uniform(0.0, 0.25, n)
-    else:
-        if rng.random() < 0.5:
-            dist = rng.uniform(0.15, 0.30, (n, 1))
-            ang_err = rng.uniform(0.0, 0.3, n)
-        else:
-            dist = rng.uniform(0.06, 0.10, (n, 1))
-            ang_err = rng.uniform(0.7, 1.5, n)
-    transl = anchor + dirs * dist
-    # palm x-axis points from palm toward centroid (-transl direction)
-    x_axis = -transl / np.linalg.norm(transl, axis=1, keepdims=True)
-    # perturb by ang_err around a random orthogonal axis
-    rand = rng.normal(size=(n, 3))
-    ortho = np.cross(x_axis, rand)
-    ortho /= np.maximum(np.linalg.norm(ortho, axis=1, keepdims=True), 1e-9)
-    rot_err = _Rot.from_rotvec(ortho * ang_err[:, None])
-    x_axis = rot_err.apply(x_axis)
-    # build full frame: y from random, z = x×y orthonormalized
+def _frames_from_x(rng, x_axis: np.ndarray) -> np.ndarray:
+    """Complete (n, 3) unit x-axes into full frames with random roll;
+    columns = palm axes."""
+    n = x_axis.shape[0]
     y_raw = rng.normal(size=(n, 3))
     z_axis = np.cross(x_axis, y_raw)
     z_axis /= np.maximum(np.linalg.norm(z_axis, axis=1, keepdims=True), 1e-9)
     y_axis = np.cross(z_axis, x_axis)
-    R = np.stack([x_axis, y_axis, z_axis], axis=2)  # columns
-    joints = np.clip(
-        0.2 + 3.0 * (dist - 0.06) + rng.normal(size=(n, 12)) * 0.05, 0.0, 1.2)
-    return transl, R, joints
+    return np.stack([x_axis, y_axis, z_axis], axis=2)
+
+
+def _sample_candidates(rng, cloud: np.ndarray, n: int
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """One candidate distribution for positives AND negatives: palm offset
+    0-16 cm outward from a random surface anchor, approach axis pointing
+    back at the anchor with U[0, 0.8] rad jitter, random roll."""
+    idx = rng.integers(0, cloud.shape[0], n)
+    anchor = cloud[idx]
+    out_dir = anchor / np.maximum(
+        np.linalg.norm(anchor, axis=1, keepdims=True), 1e-6)
+    dist = rng.uniform(0.0, 0.16, (n, 1))
+    transl = anchor + out_dir * dist
+    x_axis = -out_dir
+    ang_err = rng.uniform(0.0, 0.8, n)
+    rand = rng.normal(size=(n, 3))
+    ortho = np.cross(x_axis, rand)
+    ortho /= np.maximum(np.linalg.norm(ortho, axis=1, keepdims=True), 1e-9)
+    x_axis = _Rot.from_rotvec(ortho * ang_err[:, None]).apply(x_axis)
+    return transl, _frames_from_x(rng, x_axis)
+
+
+def _labeled_grasps(rng, cloud: np.ndarray, n_pos: int, n_neg: int,
+                    gripper: GripperParams):
+    """Sample candidates until the oracle yields n_pos successes and n_neg
+    failures.  Returns (t, R, depth) per class."""
+    pools = {True: ([], [], []), False: ([], [], [])}
+    for _ in range(60):
+        if (len(pools[True][0]) >= n_pos and len(pools[False][0]) >= n_neg):
+            break
+        t, R = _sample_candidates(rng, cloud, 4 * (n_pos + n_neg))
+        out = grasp_outcomes(cloud, t, R, gripper)
+        for positive in (True, False):
+            m = out["success"] == positive
+            pools[positive][0].append(t[m])
+            pools[positive][1].append(R[m])
+            pools[positive][2].append(out["depth"][m])
+    else:
+        raise RuntimeError(
+            "candidate sampler could not reach the per-class quota — "
+            "object too small/large for the gripper proxy?")
+
+    def take(positive, n):
+        t = np.concatenate(pools[positive][0])[:n]
+        R = np.concatenate(pools[positive][1])[:n]
+        d = np.concatenate(pools[positive][2])[:n]
+        if t.shape[0] < n:
+            raise RuntimeError(f"only {t.shape[0]}/{n} "
+                               f"{'pos' if positive else 'neg'} candidates")
+        return t, R, d
+
+    return take(True, n_pos), take(False, n_neg)
+
+
+def _hard_negatives(rng, cloud: np.ndarray, t_pos: np.ndarray,
+                    R_pos: np.ndarray, n_hard: int,
+                    gripper: GripperParams):
+    """Reference hard-negative convention (±3 cm / ±0.6 rad per axis with
+    random signs, ``utils.py:217-244``) applied to positives — then
+    RE-LABELED by the oracle; only true failures are kept."""
+    t_out, R_out, d_out = [], [], []
+    have = 0
+    for _ in range(60):
+        if have >= n_hard:
+            break
+        k = rng.integers(0, t_pos.shape[0], 2 * n_hard)
+        sign = np.where(rng.random((2 * n_hard, 6)) < 0.5, -1.0, 1.0)
+        delta = sign * np.array([0.03, 0.03, 0.03, 0.6, 0.6, 0.6])
+        t = t_pos[k] + delta[:, :3]
+        eul = _Rot.from_matrix(R_pos[k]).as_euler("xyz") + delta[:, 3:]
+        R = _Rot.from_euler("xyz", eul).as_matrix()
+        out = grasp_outcomes(cloud, t, R, gripper)
+        m = ~out["success"]
+        t_out.append(t[m])
+        R_out.append(R[m])
+        d_out.append(out["depth"][m])
+        have += int(m.sum())
+    t = np.concatenate(t_out)[:n_hard]
+    R = np.concatenate(R_out)[:n_hard]
+    d = np.concatenate(d_out)[:n_hard]
+    if t.shape[0] < n_hard:
+        raise RuntimeError(f"only {t.shape[0]}/{n_hard} hard negatives")
+    return t, R, d
 
 
 def build_synthetic_dataset(
@@ -95,11 +165,23 @@ def build_synthetic_dataset(
         points_per_cloud: int = 2048,
         eval_fraction: float = 0.25,
         basis: Optional[np.ndarray] = None,
-        seed: int = 0) -> Dict:
-    """Create the dataset tree; returns summary info."""
+        seed: int = 0,
+        hard_neg_factor: float = 1.5,
+        visible_fraction: float = 0.65,
+        gripper: Optional[GripperParams] = None) -> Dict:
+    """Create the dataset tree; returns summary info.
+
+    ``grasps_per_object`` = positives per object (same count of negatives,
+    plus ``hard_neg_factor``× relabeled hard negatives in a
+    ``hard_negative`` h5 group that DexEvaluatorDataSet prefers over
+    on-the-fly perturbation when present)."""
     import pandas as pd
 
     rng = np.random.default_rng(seed)
+    if gripper is None:
+        # contact-count threshold scales with surface sampling density
+        gripper = GripperParams(
+            min_contact_points=max(4, points_per_cloud // 170))
     os.makedirs(data_dir, exist_ok=True)
     if basis is None:
         basis = np.asarray(generate_basis(jax.random.PRNGKey(seed)))
@@ -127,11 +209,15 @@ def build_synthetic_dataset(
             centr_T_mesh[:3, 3] = mesh_t
             mesh_T_centr = np.linalg.inv(centr_T_mesh)
 
-            # grasps in centroid frame → store in mesh frame
-            t_pos, R_pos, j_pos = _grasp_label_params(
-                rng, cloud, grasps_per_object, True)
-            t_neg, R_neg, j_neg = _grasp_label_params(
-                rng, cloud, grasps_per_object, False)
+            # grasps in centroid frame (oracle-labeled) → store in mesh frame
+            (t_pos, R_pos, d_pos), (t_neg, R_neg, d_neg) = _labeled_grasps(
+                rng, cloud, grasps_per_object, grasps_per_object, gripper)
+            n_hard = max(1, int(round(hard_neg_factor * grasps_per_object)))
+            t_hrd, R_hrd, d_hrd = _hard_negatives(
+                rng, cloud, t_pos, R_pos, n_hard, gripper)
+            j_pos = joints_from_depth(rng, d_pos)
+            j_neg = joints_from_depth(rng, d_neg)
+            j_hrd = joints_from_depth(rng, d_hrd)
 
             def to_mesh_posquat(t, R):
                 Rm = np.einsum("ij,njk->nik", mesh_T_centr[:3, :3], R)
@@ -142,6 +228,7 @@ def build_synthetic_dataset(
             grasps_h5[obj] = {
                 "positive": (to_mesh_posquat(t_pos, R_pos), j_pos),
                 "negative": (to_mesh_posquat(t_neg, R_neg), j_neg),
+                "hard_negative": (to_mesh_posquat(t_hrd, R_hrd), j_hrd),
                 "collision": (to_mesh_posquat(t_neg, R_neg)[:4], j_neg[:4]),
             }
 
@@ -152,14 +239,16 @@ def build_synthetic_dataset(
             os.makedirs(pcd_dir, exist_ok=True)
             for vi in range(views_per_object):
                 # single-view realism (the reference's clouds are one-camera
-                # renders): keep the half of the surface facing a random
-                # view direction, plus small pose jitter.  Near-identical
-                # views would otherwise make every view's BPS an object-
-                # identity signature — a shortcut that stalls evaluator
-                # training (see docs/RESULTS.md).
+                # renders): keep the ``visible_fraction`` of the surface
+                # facing a random view direction, plus small pose jitter.
+                # Labels are geometric (grasp_geometry.py), so near-full
+                # views no longer create an object-identity label shortcut;
+                # the fraction trades partial-observability ambiguity
+                # against view realism.
                 view_dir = rng.normal(size=3)
                 view_dir /= np.linalg.norm(view_dir)
-                visible = cloud @ view_dir < np.median(cloud @ view_dir)
+                proj = cloud @ view_dir
+                visible = proj < np.quantile(proj, visible_fraction)
                 view_cloud = cloud[visible]
                 view_R = _Rot.from_rotvec(
                     rng.normal(size=3) * 0.05).as_matrix()

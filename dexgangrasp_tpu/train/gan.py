@@ -266,8 +266,15 @@ class GanTrainer:
     def gan_step(self, ts: GanTrainState, batch: Dict[str, jax.Array],
                  key: jax.Array, is_train_gen: bool = True
                  ) -> Tuple[GanTrainState, Dict[str, jax.Array]]:
-        """One update_dexgangrasp step.  batch: bps_object (B,4096),
-        rot_matrix (B,3,3), transl (B,3), joint_conf (B,J)."""
+        """One update_dexgangrasp step (jitted).  batch: bps_object
+        (B,4096), rot_matrix (B,3,3), transl (B,3), joint_conf (B,J)."""
+        return self.gan_step_body(ts, batch, key, is_train_gen)
+
+    def gan_step_body(self, ts: GanTrainState, batch: Dict[str, jax.Array],
+                      key: jax.Array, is_train_gen: bool = True
+                      ) -> Tuple[GanTrainState, Dict[str, jax.Array]]:
+        """Un-jitted step body — composable inside larger programs (the
+        device-resident multi-step trainer in train/fast.py scans it)."""
         cfg = self.cfg
         kz, kgp = jax.random.split(key)
         bps = batch["bps_object"].astype(jnp.float32)
@@ -367,6 +374,13 @@ class GanTrainer:
                        ) -> Tuple[EvaluatorTrainState, Dict[str, jax.Array]]:
         """One update_dexevaluator step (dexgangrasp.py:739-755): BCE on
         success labels.  batch adds 'label' (B,)."""
+        return self.evaluator_step_body(ts, batch, key)
+
+    def evaluator_step_body(self, ts: EvaluatorTrainState,
+                            batch: Dict[str, jax.Array], key: jax.Array
+                            ) -> Tuple[EvaluatorTrainState,
+                                       Dict[str, jax.Array]]:
+        """Un-jitted evaluator step body (scanned by train/fast.py)."""
         cfg = self.cfg
         bps = batch["bps_object"].astype(jnp.float32)
         n = bps.shape[0]

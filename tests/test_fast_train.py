@@ -1,0 +1,254 @@
+"""Tests: geometric grasp oracle, oracle-labeled synthetic data, and the
+device-resident fast trainer (table builders + scan-chunk parity with the
+per-step path)."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dexgangrasp_tpu.data.datasets import DexEvaluatorDataSet, DexGeneratorDataSet
+from dexgangrasp_tpu.data.grasp_geometry import (
+    DEFAULT_GRIPPER,
+    GripperParams,
+    grasp_outcomes,
+    joints_from_depth,
+)
+from dexgangrasp_tpu.data.grasp_store import InMemoryGraspStore
+from dexgangrasp_tpu.data.synthetic import build_synthetic_dataset
+from dexgangrasp_tpu.train.fast import (
+    binary_auc,
+    build_evaluator_table,
+    build_generator_table,
+    evaluator_metrics,
+    evaluator_scores,
+    evaluator_train_chunk,
+    gan_train_chunk,
+    put_table,
+)
+from dexgangrasp_tpu.train.gan import GanTrainer, TrainConfig
+
+rng = np.random.default_rng(0)
+
+
+def _sphere_cloud(radius=0.05, n=2048):
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return (radius * d).astype(np.float32)
+
+
+def _pose(palm, x_dir):
+    x = np.asarray(x_dir, np.float64)
+    x /= np.linalg.norm(x)
+    y = np.cross([0.0, 0.0, 1.0] if abs(x[2]) < 0.9 else [0.0, 1.0, 0.0], x)
+    y /= np.linalg.norm(y)
+    z = np.cross(x, y)
+    R = np.stack([x, y, z], axis=1)
+    return np.asarray(palm, np.float64)[None], R[None]
+
+
+class TestOracle:
+    def test_good_grasp_succeeds(self):
+        cloud = _sphere_cloud(0.05)
+        # palm 9 cm from center (4 cm off the surface), approaching inward:
+        # surface enters the finger sweep (1.5-8.5 cm) without palm contact
+        t, R = _pose([0.09, 0.0, 0.0], [-1.0, 0.0, 0.0])
+        out = grasp_outcomes(cloud, t, R)
+        assert bool(out["success"][0])
+        assert not bool(out["collision"][0])
+        assert 0.015 <= out["depth"][0] <= 0.085
+
+    def test_same_pose_flips_label_with_object_size(self):
+        # identical pose: success on the 8 cm sphere (surface 6 cm in front
+        # of the palm, inside the sweep), failure on the 4 cm sphere
+        # (surface 10 cm away, beyond close_max).  This label flip at equal
+        # pose is what forces the evaluator to consume the BPS encoding.
+        t, R = _pose([0.14, 0.0, 0.0], [-1.0, 0.0, 0.0])
+        assert bool(grasp_outcomes(_sphere_cloud(0.08), t, R)["success"][0])
+        assert not bool(grasp_outcomes(_sphere_cloud(0.04), t, R)["success"][0])
+
+    def test_palm_collision_fails(self):
+        cloud = _sphere_cloud(0.05)
+        t, R = _pose([0.05, 0.0, 0.0], [-1.0, 0.0, 0.0])  # palm at surface
+        out = grasp_outcomes(cloud, t, R)
+        assert bool(out["collision"][0])
+        assert not bool(out["success"][0])
+
+    def test_misaligned_grasp_fails(self):
+        cloud = _sphere_cloud(0.05)
+        t, R = _pose([0.09, 0.0, 0.0], [0.0, 1.0, 0.0])  # sideways approach
+        out = grasp_outcomes(cloud, t, R)
+        assert not bool(out["success"][0])
+
+    def test_chunking_invariant(self):
+        cloud = _sphere_cloud(0.05, 512)
+        t = rng.normal(size=(40, 3)) * 0.08
+        from scipy.spatial.transform import Rotation
+        R = Rotation.random(40, rng=rng).as_matrix()
+        a = grasp_outcomes(cloud, t, R, chunk=7)
+        b = grasp_outcomes(cloud, t, R, chunk=256)
+        np.testing.assert_array_equal(a["success"], b["success"])
+        np.testing.assert_allclose(a["depth"], b["depth"], equal_nan=True)
+
+    def test_joints_from_depth(self):
+        d = np.array([0.02, 0.08, np.nan])
+        j = joints_from_depth(np.random.default_rng(0), d)
+        assert j.shape == (3, 12)
+        assert (j >= 0).all() and (j <= 1.2).all()
+        assert j[1].mean() > j[0].mean()  # deeper contact → more closure
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("synth_oracle"))
+    build_synthetic_dataset(d, n_objects=4, views_per_object=2,
+                            grasps_per_object=10, points_per_cloud=512,
+                            seed=3)
+    return d
+
+
+class TestOracleLabeledDataset:
+    def test_stored_groups_and_counts(self, synth_dir):
+        store = InMemoryGraspStore(os.path.join(synth_dir,
+                                                "grasp_data_all.h5"))
+        for obj in store.objects():
+            p, _ = store.get(obj, "positive")
+            n, _ = store.get(obj, "negative")
+            h, _ = store.get(obj, "hard_negative")
+            assert p.shape[0] == 10 and n.shape[0] == 10
+            assert h.shape[0] == 15  # 1.5× factor
+
+    def test_stored_hard_negatives_preferred(self, synth_dir, monkeypatch):
+        import dexgangrasp_tpu.data.datasets as dsmod
+
+        def boom(*a, **k):
+            raise AssertionError("on-the-fly perturbation should not run "
+                                 "when the h5 provides hard negatives")
+
+        monkeypatch.setattr(dsmod, "hard_negative_np", boom)
+        ds = DexEvaluatorDataSet(synth_dir, "train", seed=0)
+        hn_rows = [i for i, l in enumerate(ds.labels)
+                   if l == "hard_negative"][:4]
+        for i in hn_rows:
+            ds[i]  # would raise through boom if the fallback path ran
+
+    def test_labels_geometrically_consistent(self, synth_dir):
+        """Every stored positive passes the oracle; every stored
+        hard-negative fails it (relabeling contract)."""
+        from dexgangrasp_tpu.data.datasets import _hom_from_pos_quat
+        from dexgangrasp_tpu.data.synthetic import _superquadric_cloud
+
+        # rebuild the same clouds the builder used (same seed stream) is
+        # fiddly; instead verify via the view clouds' parent: reconstruct
+        # full cloud from grasp store is impossible — so check the invariant
+        # on a freshly built tiny dataset where we keep the cloud.
+        rng2 = np.random.default_rng(11)
+        cloud = _superquadric_cloud(rng2, 1024)
+        from dexgangrasp_tpu.data.synthetic import (
+            _hard_negatives,
+            _labeled_grasps,
+        )
+        g = GripperParams(min_contact_points=max(4, 1024 // 170))
+        (t_p, R_p, _), (t_n, R_n, _) = _labeled_grasps(rng2, cloud, 12, 12, g)
+        assert grasp_outcomes(cloud, t_p, R_p, g)["success"].all()
+        assert not grasp_outcomes(cloud, t_n, R_n, g)["success"].any()
+        t_h, R_h, _ = _hard_negatives(rng2, cloud, t_p, R_p, 8, g)
+        assert not grasp_outcomes(cloud, t_h, R_h, g)["success"].any()
+
+
+class TestFastTrainer:
+    def test_evaluator_table_matches_index(self, synth_dir):
+        ds = DexEvaluatorDataSet(synth_dir, "train", seed=0)
+        table = build_evaluator_table(ds, seed=0)
+        assert table["bps_idx"].shape[0] == len(ds)
+        assert table["bps"].shape[1] == 4096
+        # label marginals match the index
+        want = np.array([1.0 if l == "positive" else 0.0 for l in ds.labels])
+        np.testing.assert_array_equal(table["label"], want)
+        # rotations orthonormal
+        R = table["rot9"].reshape(-1, 3, 3)
+        np.testing.assert_allclose(np.einsum("bij,bkj->bik", R, R),
+                                   np.broadcast_to(np.eye(3), R.shape),
+                                   atol=1e-5)
+
+    def test_generator_table_enumerates_positives(self, synth_dir):
+        ds = DexGeneratorDataSet(synth_dir, "train", seed=0)
+        table = build_generator_table(ds)
+        assert table["bps_idx"].shape[0] == len(ds)
+        assert table["joint_conf"].shape == (len(ds), 12)
+        # every positive grasp of each object appears per view
+        store = InMemoryGraspStore(os.path.join(synth_dir,
+                                                "grasp_data_all.h5"))
+        n_pos = store.get(store.objects()[0], "positive")[0].shape[0]
+        counts = np.bincount(table["bps_idx"])
+        assert (counts == n_pos).all()
+
+    def test_chunk_matches_stepwise(self, synth_dir):
+        """evaluator_train_chunk(steps=3) == 3 × evaluator_step with the
+        same PRNG stream and row draws."""
+        ds = DexEvaluatorDataSet(synth_dir, "train", seed=0)
+        table = build_evaluator_table(ds, seed=0)
+        dev = put_table(table)
+        trainer = GanTrainer(TrainConfig())
+        ts0 = trainer.init_evaluator_state(jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(5)
+        bsz = 16
+
+        ts_fast, losses = evaluator_train_chunk(trainer, ts0, dev, key,
+                                                3, bsz)
+
+        ts_ref = ts0
+        M = table["bps_idx"].shape[0]
+        for k in jax.random.split(key, 3):
+            k_rows, k_drop = jax.random.split(k)
+            rows = np.asarray(jax.random.randint(k_rows, (bsz,), 0, M))
+            batch = {
+                "bps_object": table["bps"][table["bps_idx"][rows]],
+                "rot_matrix": table["rot9"][rows].reshape(bsz, 3, 3),
+                "transl": table["transl"][rows],
+                "label": table["label"][rows],
+            }
+            ts_ref, logs = trainer.evaluator_step(
+                ts_ref, {k2: jnp.asarray(v) for k2, v in batch.items()},
+                k_drop)
+        for a, b in zip(jax.tree.leaves(ts_fast.params),
+                        jax.tree.leaves(ts_ref.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4)
+        assert losses.shape == (3,)
+
+    def test_gan_chunk_runs_and_learns_shapes(self, synth_dir):
+        ds = DexGeneratorDataSet(synth_dir, "train", seed=0)
+        dev = put_table(build_generator_table(ds))
+        trainer = GanTrainer(TrainConfig())
+        ts = trainer.init_gan_state(jax.random.PRNGKey(0))
+        ts2, logs = gan_train_chunk(trainer, ts, dev, jax.random.PRNGKey(1),
+                                    2, 8, gen_train_freq=2)
+        assert logs["total_loss_gen"].shape == (2,)
+        assert np.isfinite(np.asarray(logs["total_loss_gen"])).all()
+        assert int(ts2.step) == 4  # 2 super-steps × freq 2
+
+    def test_scores_and_metrics(self, synth_dir):
+        ds = DexEvaluatorDataSet(synth_dir, "eval", seed=0)
+        table = build_evaluator_table(ds, seed=0)
+        trainer = GanTrainer(TrainConfig())
+        ts = trainer.init_evaluator_state(jax.random.PRNGKey(0))
+        probs = np.asarray(evaluator_scores(trainer, ts.params, ts.state,
+                                            put_table(table),
+                                            batch_size=64))
+        assert probs.shape == (len(ds),)
+        m = evaluator_metrics(probs, table["label"])
+        assert 0.0 <= m["accuracy"] <= 1.0
+        # untrained evaluator ≈ chance
+        assert 0.2 <= m["auc"] <= 0.8
+
+    def test_binary_auc_oracle(self):
+        probs = np.array([0.9, 0.8, 0.7, 0.3, 0.2, 0.1])
+        labels = np.array([1, 1, 0, 1, 0, 0])
+        # sklearn-free oracle: count concordant pairs
+        pos = probs[labels == 1][:, None]
+        neg = probs[labels == 0][None, :]
+        want = ((pos > neg).sum() + 0.5 * (pos == neg).sum()) / pos.size / 3
+        assert abs(binary_auc(probs, labels) - want) < 1e-12
