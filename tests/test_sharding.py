@@ -90,6 +90,51 @@ def test_tp_param_placement_and_step():
     assert np.isfinite(float(logs["total_loss_disc"]))
 
 
+def test_tp_gan_step_matches_single_device():
+    """dp×tp numerics equivalence (VERDICT r1 next-4): the tensor-parallel
+    layout must produce the same losses AND the same updated parameters as
+    the unsharded step — a wrong fc2 row-parallel reduction or a misplaced
+    BN spec fails this, not just a compile check."""
+    trainer = GanTrainer(TrainConfig())
+    ts = trainer.init_gan_state(jax.random.PRNGKey(2))
+    batch = _toy_batch(16)
+    key = jax.random.PRNGKey(9)
+
+    ts_ref, logs_ref = trainer.gan_step(
+        ts, {k: jnp.asarray(v) for k, v in batch.items()}, key)
+
+    import dataclasses
+    mesh = make_mesh([("data", 2), ("model", 4)])
+    specs = gan_param_specs(mesh)
+    put = lambda tree, spec: jax.device_put(
+        tree, jax.tree.map(lambda s: NamedSharding(mesh, s), spec,
+                           is_leaf=lambda x: isinstance(x, P)))
+    ts_tp = dataclasses.replace(
+        ts,
+        gen_params=put(ts.gen_params, specs["gen_params"]),
+        gen_state=put(ts.gen_state, specs["gen_state"]),
+        disc_params=put(ts.disc_params, specs["disc_params"]),
+        disc_state=put(ts.disc_state, specs["disc_state"]))
+    step = sharded_gan_step(trainer, mesh)
+    ts_sh, logs_sh = step(ts_tp, batch, key)
+
+    np.testing.assert_allclose(float(logs_sh["total_loss_disc"]),
+                               float(logs_ref["total_loss_disc"]), rtol=1e-4)
+    np.testing.assert_allclose(float(logs_sh["total_loss_gen"]),
+                               float(logs_ref["total_loss_gen"]), rtol=1e-4)
+    # params: Adam normalizes near-zero grads (m/sqrt(v)), so TP reduction-
+    # order noise is amplified to ~1e-4 on isolated elements; a real layout
+    # bug shifts entire tensors by O(lr)=1e-4 *systematically*, which the
+    # mean-abs check below catches, while per-element atol stays loose
+    # enough for the benign wiggle.
+    for name in ("gen_params", "disc_params", "gen_state", "disc_state"):
+        for a, b in zip(jax.tree.leaves(getattr(ts_ref, name)),
+                        jax.tree.leaves(getattr(ts_sh, name))):
+            a, b = np.asarray(a), np.asarray(b)
+            np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3)
+            assert np.mean(np.abs(a - b)) < 2e-5
+
+
 def test_evaluator_specs_cover_tree():
     trainer = GanTrainer(TrainConfig())
     ets = trainer.init_evaluator_state(jax.random.PRNGKey(0))
