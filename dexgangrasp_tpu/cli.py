@@ -111,7 +111,8 @@ def load_engine(gen_path, eva_path, basis_path=None):
     return GraspEngine.from_checkpoints(gen_path, eva_path, basis_path)
 
 
-def run_filter(engine, bps, grasps, n_samples, thresh_list, use_disc):
+def run_filter(engine, bps, grasps, n_samples, thresh_list, use_disc,
+               verbose=True):
     """Reference 3-stage filter (eval.py:139-204)."""
     out = grasps
     n_filt = len(grasps["rot_matrix"])
@@ -119,8 +120,9 @@ def run_filter(engine, bps, grasps, n_samples, thresh_list, use_disc):
         out = engine.filter_grasps(bps, grasps, thresh=thresh,
                                    use_discriminator=use_disc)
         n_filt = out["rot_matrix"].shape[0]
-        print(f"n_grasps after filtering: {n_filt} "
-              f"({n_filt / max(n_samples, 1):.2f} pass)")
+        if verbose:
+            print(f"n_grasps after filtering: {n_filt} "
+                  f"({n_filt / max(n_samples, 1):.2f} pass)")
     return out, n_filt
 
 
@@ -146,10 +148,67 @@ def eval_main():
     return _run_single(args)
 
 
-def _run_single(args):
+def magd_protocol(engine, data_dir, is_filter=False, thresh_list=None,
+                  use_discriminator=False, z_offset=0.025, seed=0,
+                  sample_mult=5, verbose=True):
+    """The MAGD protocol over a dataset's eval split (reference
+    eval.py:236-359 semantics): per eval view, generate |GT| grasps
+    (``sample_mult``×|GT| + 3-stage filter when ``is_filter``), then MAGD
+    sums + coverage.  Also reports per-grasp means ('transl_mean', ...) —
+    sums scale with prediction count, so means are the comparable quantity
+    between filtered (variable-n) and unfiltered runs."""
     from dexgangrasp_tpu.data.datasets import DexGeneratorDataSet
     from dexgangrasp_tpu.eval.magd import magd_for_grasp_distribution
 
+    if thresh_list is None:
+        thresh_list = ([0.15, 0.175, 0.20] if use_discriminator
+                       else [0.5, 0.75, 0.90])
+    dset = DexGeneratorDataSet(data_dir, "eval")
+    # enumerate every eval-split view (the reference iterates its frozen
+    # 64-row eval_batch; here each unique bps file is an eval row)
+    unique_bps = sorted(set(dset.bps_paths))
+
+    sums = {"transl": 0.0, "rot": 0.0, "joint": 0.0, "coverage": 0.0}
+    n_pred_total = 0
+    num_nan = 0
+    for bps_path in unique_bps:
+        pcd_path = bps_path.replace("bps", "pcd").replace(".npy", ".pcd")
+        grasps_gt = dset.get_grasps_from_pcd_path(pcd_path)
+        n_gt = grasps_gt["joint_conf"].shape[0]
+        bps = np.load(bps_path).ravel()
+        if is_filter:
+            out = engine.generate_grasps(bps, n_samples=n_gt * sample_mult,
+                                         z_offset=z_offset, seed=seed)
+            try:
+                out, _ = run_filter(engine, bps, out, n_gt, thresh_list,
+                                    use_discriminator, verbose=verbose)
+            except ValueError as e:
+                if verbose:
+                    print("filter rejected all grasps:", e)
+        else:
+            out = engine.generate_grasps(bps, n_samples=n_gt,
+                                         z_offset=z_offset, seed=seed)
+        t, r, j, cov = magd_for_grasp_distribution(out, grasps_gt)
+        if not any(map(math.isnan, (t, r, j))):
+            sums["transl"] += t
+            sums["rot"] += r
+            sums["joint"] += j
+            n_pred_total += out["transl"].shape[0]
+        else:
+            num_nan += 1
+        sums["coverage"] += cov
+
+    n = len(unique_bps)
+    sums["n"] = n
+    sums["num_nan"] = num_nan
+    sums["n_pred"] = n_pred_total
+    sums["coverage_mean"] = sums["coverage"] / n
+    for k in ("transl", "rot", "joint"):
+        sums[k + "_mean"] = sums[k] / max(n_pred_total, 1)
+    return sums
+
+
+def _run_single(args):
     data_dir = args.data_dir or args.synthetic
     if args.synthetic and not os.path.isfile(
             os.path.join(args.synthetic, "metadata.csv")):
@@ -163,48 +222,17 @@ def _run_single(args):
         basis = None
     engine = load_engine(args.gen, args.eva, basis)
 
-    thresh_list = ([0.15, 0.175, 0.20] if args.discriminator
-                   else [0.5, 0.75, 0.90])
-
-    dset = DexGeneratorDataSet(data_dir, "eval")
-    # enumerate every eval-split view (the reference iterates its frozen
-    # 64-row eval_batch; here each unique bps file is an eval row)
-    unique_bps = sorted(set(dset.bps_paths))
-
-    sums = {"transl": 0.0, "rot": 0.0, "joint": 0.0, "coverage": 0.0}
-    num_nan = 0
-    for bps_path in unique_bps:
-        pcd_path = bps_path.replace("bps", "pcd").replace(".npy", ".pcd")
-        grasps_gt = dset.get_grasps_from_pcd_path(pcd_path)
-        n_gt = grasps_gt["joint_conf"].shape[0]
-        bps = np.load(bps_path).ravel()
-        if args.is_filter:
-            out = engine.generate_grasps(bps, n_samples=n_gt * 5,
-                                         z_offset=args.z_offset,
-                                         seed=args.seed)
-            try:
-                out, _ = run_filter(engine, bps, out, n_gt,
-                                    thresh_list, args.discriminator)
-            except ValueError as e:
-                print("filter rejected all grasps:", e)
-        else:
-            out = engine.generate_grasps(bps, n_samples=n_gt, seed=args.seed)
-        t, r, j, cov = magd_for_grasp_distribution(out, grasps_gt)
-        if not any(map(math.isnan, (t, r, j))):
-            sums["transl"] += t
-            sums["rot"] += r
-            sums["joint"] += j
-        else:
-            num_nan += 1
-        sums["coverage"] += cov
-
-    n = len(unique_bps)
-    sums["n"] = n
+    sums = magd_protocol(engine, data_dir, is_filter=args.is_filter,
+                         use_discriminator=args.discriminator,
+                         z_offset=args.z_offset, seed=args.seed)
     print("transl_loss_sum:", sums["transl"])
     print("rot_loss_sum:", sums["rot"])
     print("joint_loss_sum:", sums["joint"])
-    print("coverage", sums["coverage"] / n)
-    print(f"invalid output is: {num_nan}/{n}")
+    print("coverage", sums["coverage_mean"])
+    print("per-grasp means: transl %.5f rot %.4f joint %.4f (n_pred=%d)"
+          % (sums["transl_mean"], sums["rot_mean"], sums["joint_mean"],
+             sums["n_pred"]))
+    print(f"invalid output is: {sums['num_nan']}/{sums['n']}")
     return sums
 
 

@@ -99,8 +99,9 @@ def _labeled_grasps(rng, cloud: np.ndarray, n_pos: int, n_neg: int,
     """Sample candidates until the oracle yields n_pos successes and n_neg
     failures.  Returns (t, R, depth) per class."""
     pools = {True: ([], [], []), False: ([], [], [])}
+    counts = {True: 0, False: 0}
     for _ in range(60):
-        if (len(pools[True][0]) >= n_pos and len(pools[False][0]) >= n_neg):
+        if counts[True] >= n_pos and counts[False] >= n_neg:
             break
         t, R = _sample_candidates(rng, cloud, 4 * (n_pos + n_neg))
         out = grasp_outcomes(cloud, t, R, gripper)
@@ -109,6 +110,7 @@ def _labeled_grasps(rng, cloud: np.ndarray, n_pos: int, n_neg: int,
             pools[positive][0].append(t[m])
             pools[positive][1].append(R[m])
             pools[positive][2].append(out["depth"][m])
+            counts[positive] += int(m.sum())
     else:
         raise RuntimeError(
             "candidate sampler could not reach the per-class quota — "
