@@ -169,16 +169,23 @@ def _fold_pose_network(params: dict, state: dict, bn_key: str,
     return folded
 
 
+def _eva_rb_names(tree: dict):
+    """rb1..rbN in depth order (variable-depth evaluator,
+    networks.py n_resblocks)."""
+    return sorted((k for k in tree if k.startswith("rb")),
+                  key=lambda k: int(k[2:]))
+
+
 def fold_evaluator(params: dict, state: dict) -> dict:
     """DexEvaluator (networks.py:278-337) → folded.  Input X0 =
-    [bps(4096), pose(12)]; rb2/rb3 consume [X, X0] (X first!)."""
-    return _fold_pose_network(params, state, "bn1", ("rb1", "rb2", "rb3"),
-                              x_first=True)
+    [bps(4096), pose(12)]; rb2+ consume [X, X0] (X first!)."""
+    return _fold_pose_network(params, state, "bn1",
+                              _eva_rb_names(params), x_first=True)
 
 
 def evaluator_object_context(folded: dict, bps: jax.Array) -> dict:
     ctx = {}
-    for name in ("rb1", "rb2", "rb3"):
+    for name in _eva_rb_names(folded):
         rb = folded[name]
         ctx[name] = {"c1": bps @ rb["w1_bps"] + rb["b1"],
                      "c3": bps @ rb["w3_bps"] + rb["b3"]}
@@ -197,7 +204,7 @@ def evaluator_apply_folded(folded: dict, ctx: dict, pose: jax.Array,
     xin = leaky_relu(pose @ rb1["w3_pose"] + ctx["rb1"]["c3"])
     x = leaky_relu(xin + u)
 
-    for name in ("rb2", "rb3"):
+    for name in _eva_rb_names(folded)[1:]:
         rb = folded[name]
         h = leaky_relu(x @ rb["w1_x"] + pose @ rb["w1_pose"] + ctx[name]["c1"])
         u = h @ rb["w2"] + rb["b2"]

@@ -1,16 +1,18 @@
 """Evaluator-ablation experiment harness.
 
-The reference checks ablation *results* into ``utils/experiments.py``
-(hardcoded accuracy tables for 2/3/4-ResBlock × 256/512/1024-neuron
-evaluators).  This module provides the *capability*: train evaluator
-variants over a grid and tabulate per-epoch positive/negative-class rates,
-reproducing those tables for any dataset.
+The reference checks ablation *results* into ``utils/experiments.py:3-56``
+(hardcoded eval-split class-rate tables for 2/3/4-ResBlock ×
+256/512/1024-neuron evaluators; it picked 3 × 512).  This module provides
+the *capability*: train each variant — the depth axis is a real
+``DexEvaluator(n_resblocks=...)`` architecture change, not a recorded
+label — with the device-resident fast trainer and tabulate per-epoch
+positive/negative class rates, reproducing those tables for any dataset.
 """
 from __future__ import annotations
 
 import dataclasses
 import itertools
-from typing import Dict, List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 
@@ -31,44 +33,51 @@ class AblationResult:
 
 
 def run_evaluator_ablation(data_dir: str,
-                           n_resblocks_grid: Sequence[int] = (2, 3),
-                           n_neurons_grid: Sequence[int] = (256, 512),
+                           n_resblocks_grid: Sequence[int] = (2, 3, 4),
+                           n_neurons_grid: Sequence[int] = (256, 512, 1024),
                            epochs: int = 6, eval_every: int = 2,
                            batch_size: int = 64,
                            seed: int = 0) -> List[AblationResult]:
-    """Train each variant briefly, record eval-split class rates.
-
-    Note: variant architecture is approximated by changing the evaluator
-    width; resblock-count variation uses the standard 3-block network when
-    n_resblocks == 3 and a 2-block truncation otherwise (the reference
-    picked 3 × 512 — networks.py:289-292)."""
+    """Train each (depth × width) variant, record eval-split class rates
+    every ``eval_every`` epochs (one epoch = len(train_index)/batch_size
+    steps of the device-resident trainer)."""
     from dexgangrasp_tpu.data.datasets import DexEvaluatorDataSet
-    from dexgangrasp_tpu.data.loader import BatchLoader
+    from dexgangrasp_tpu.train.fast import (
+        build_evaluator_table,
+        evaluator_metrics,
+        evaluator_scores,
+        evaluator_train_chunk,
+        put_table,
+    )
     from dexgangrasp_tpu.train.gan import GanTrainer, TrainConfig
+
+    train_tab = put_table(build_evaluator_table(
+        DexEvaluatorDataSet(data_dir, "train", seed=seed), seed=seed))
+    eval_np = build_evaluator_table(
+        DexEvaluatorDataSet(data_dir, "eval", seed=seed), seed=seed)
+    eval_tab = put_table(eval_np)
+    steps_per_epoch = max(
+        1, int(train_tab["bps_idx"].shape[0]) // batch_size)
 
     results = []
     for n_rb, n_neu in itertools.product(n_resblocks_grid, n_neurons_grid):
-        trainer = GanTrainer(TrainConfig())
-        # width override
-        object.__setattr__(trainer.eva, "n_neurons", n_neu)
+        trainer = GanTrainer(TrainConfig(eva_n_resblocks=n_rb,
+                                         eva_n_neurons=n_neu))
         ts = trainer.init_evaluator_state(jax.random.PRNGKey(seed))
-        train_ds = DexEvaluatorDataSet(data_dir, "train", seed=seed)
-        eval_ds = DexEvaluatorDataSet(data_dir, "eval", seed=seed)
         key = jax.random.PRNGKey(seed + 1)
         res = AblationResult(n_rb, n_neu, [], [], [])
         for epoch in range(1, epochs + 1):
-            for batch in BatchLoader(train_ds, batch_size):
-                key, k = jax.random.split(key)
-                ts, _ = trainer.evaluator_step(ts, _jx(batch), k)
+            key, k = jax.random.split(key)
+            ts, _ = evaluator_train_chunk(trainer, ts, train_tab, k,
+                                          steps_per_epoch, batch_size)
             if epoch % eval_every == 0:
-                tps, tns = [], []
-                for batch in BatchLoader(eval_ds, batch_size, shuffle=False):
-                    out = trainer.eval_evaluator(ts, _jx(batch))
-                    tps.append(float(out["tp_rate"]))
-                    tns.append(float(out["tn_rate"]))
+                probs = np.asarray(evaluator_scores(
+                    trainer, ts.params, ts.state, eval_tab,
+                    batch_size=min(4096, eval_np["bps_idx"].shape[0])))
+                m = evaluator_metrics(probs, eval_np["label"])
                 res.epochs.append(epoch)
-                res.tp_rates.append(float(np.mean(tps)))
-                res.tn_rates.append(float(np.mean(tns)))
+                res.tp_rates.append(m["tp_rate"])
+                res.tn_rates.append(m["tn_rate"])
         results.append(res)
     return results
 
@@ -81,10 +90,3 @@ def tabulate(results: List[AblationResult]) -> str:
                      f"{r.best_epoch():>10d}  {r.tp_rates[i]:.3f}    "
                      f"{r.tn_rates[i]:.3f}")
     return "\n".join(lines)
-
-
-def _jx(batch):
-    import jax.numpy as jnp
-
-    return {k: jnp.asarray(v) for k, v in batch.items()
-            if not isinstance(v, list)}

@@ -142,30 +142,37 @@ class DexDiscriminator:
 @dataclasses.dataclass(frozen=True)
 class DexEvaluator:
     """Grasp success classifier.  NOTE: consumes only (bps, rot9, transl);
-    joint_conf is ignored by design parity with the reference (:307-325)."""
+    joint_conf is ignored by design parity with the reference (:307-325).
+
+    ``n_resblocks`` parameterizes depth: the reference's ablation grid
+    (``utils/experiments.py:3-56``) compares 2/3/4-block variants; its
+    shipped network is the 3-block default."""
 
     n_neurons: int = N_NEURONS
     in_bps: int = IN_BPS
+    n_resblocks: int = 3
 
     @property
     def in_pose(self) -> int:
         return 9 + 3
 
+    @property
+    def rb_names(self) -> Tuple[str, ...]:
+        return tuple(f"rb{i + 1}" for i in range(self.n_resblocks))
+
     def init(self, key: jax.Array, init: str = "xavier", gain: float = 0.02
              ) -> Tuple[dict, dict]:
-        ks = jax.random.split(key, 5)
+        assert self.n_resblocks >= 1
+        ks = jax.random.split(key, self.n_resblocks + 2)
         in0 = self.in_bps + self.in_pose
         bn1_p, bn1_s = batchnorm_init(in0, gain, ks[0])
-        rb1_p, rb1_s = resblock_init(ks[1], in0, self.n_neurons, init=init, gain=gain)
-        rb2_p, rb2_s = resblock_init(ks[2], in0 + self.n_neurons,
-                                     self.n_neurons, init=init, gain=gain)
-        rb3_p, rb3_s = resblock_init(ks[3], in0 + self.n_neurons,
-                                     self.n_neurons, init=init, gain=gain)
-        params = {
-            "bn1": bn1_p, "rb1": rb1_p, "rb2": rb2_p, "rb3": rb3_p,
-            "out": linear_init(ks[4], self.n_neurons, 1, init, gain),
-        }
-        state = {"bn1": bn1_s, "rb1": rb1_s, "rb2": rb2_s, "rb3": rb3_s}
+        params = {"bn1": bn1_p}
+        state = {"bn1": bn1_s}
+        for i, name in enumerate(self.rb_names):
+            rb_in = in0 if i == 0 else in0 + self.n_neurons
+            params[name], state[name] = resblock_init(
+                ks[i + 1], rb_in, self.n_neurons, init=init, gain=gain)
+        params["out"] = linear_init(ks[-1], self.n_neurons, 1, init, gain)
         return params, state
 
     def apply(self, params: dict, state: dict, bps: jax.Array,
@@ -173,24 +180,24 @@ class DexEvaluator:
               dropout_key: Optional[jax.Array] = None,
               return_logits: bool = False) -> Tuple[jax.Array, dict]:
         """Returns ((N, 1) success probability, new_state)."""
+        names = self.rb_names
         x = jnp.concatenate([bps, rot_flat, transl], axis=1)
         x0, bn1_s = batchnorm_apply(params["bn1"], state["bn1"], x, train)
-        dk = (jax.random.split(dropout_key, 3)
-              if dropout_key is not None else (None, None, None))
-        x, rb1_s = resblock_apply(params["rb1"], state["rb1"], x0, train)
-        x = dropout(dk[0], x, DROPOUT_RATE, train)
-        # NOTE reference order: cat([X, X0]) for rb2/rb3 (networks.py:330-332),
-        # opposite of the discriminator's cat([X0, X]).
-        x, rb2_s = resblock_apply(params["rb2"], state["rb2"],
-                                  jnp.concatenate([x, x0], axis=1), train)
-        x = dropout(dk[1], x, DROPOUT_RATE, train)
-        x, rb3_s = resblock_apply(params["rb3"], state["rb3"],
-                                  jnp.concatenate([x, x0], axis=1), train)
-        x = dropout(dk[2], x, DROPOUT_RATE, train)
+        dk = (jax.random.split(dropout_key, len(names))
+              if dropout_key is not None else (None,) * len(names))
+        new_state = {"bn1": bn1_s}
+        x = x0
+        for i, name in enumerate(names):
+            # NOTE reference order: cat([X, X0]) for rb2+ (networks.py:
+            # 330-332), opposite of the discriminator's cat([X0, X]).
+            rb_in = x0 if i == 0 else jnp.concatenate([x, x0], axis=1)
+            x, new_state[name] = resblock_apply(params[name], state[name],
+                                                rb_in, train)
+            x = dropout(dk[i], x, DROPOUT_RATE, train)
         p = linear_apply(params["out"], x)
         if not return_logits:
             p = jax.nn.sigmoid(p)
-        return p, {"bn1": bn1_s, "rb1": rb1_s, "rb2": rb2_s, "rb3": rb3_s}
+        return p, new_state
 
 
 def init_dexgan(key: jax.Array, latent_dim: int = 5, n_joints: int = 12,

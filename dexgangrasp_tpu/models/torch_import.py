@@ -81,14 +81,19 @@ def discriminator_from_torch_sd(sd: dict, prefix: str = "discriminator."
 
 
 def evaluator_from_torch_sd(sd: dict, prefix: str = "") -> Tuple[dict, dict]:
-    """Layout per reference networks.py:278-295 (bn1, rb1-3, out_success)."""
+    """Layout per reference networks.py:278-295 (bn1, rb1-3, out_success).
+    Variable depth: consumes rb1..rbN for any N present in the state dict
+    (the reference's ablation variants)."""
     bn1_p, bn1_s = _bn_from_sd(sd, prefix + "bn1")
-    rb1_p, rb1_s = _resblock_from_sd(sd, prefix + "rb1", True)
-    rb2_p, rb2_s = _resblock_from_sd(sd, prefix + "rb2", True)
-    rb3_p, rb3_s = _resblock_from_sd(sd, prefix + "rb3", True)
-    params = {"bn1": bn1_p, "rb1": rb1_p, "rb2": rb2_p, "rb3": rb3_p,
+    params = {"bn1": bn1_p,
               "out": _linear_from_sd(sd, prefix + "out_success")}
-    state = {"bn1": bn1_s, "rb1": rb1_s, "rb2": rb2_s, "rb3": rb3_s}
+    state = {"bn1": bn1_s}
+    i = 1
+    while f"{prefix}rb{i}.fc1.weight" in sd:
+        params[f"rb{i}"], state[f"rb{i}"] = _resblock_from_sd(
+            sd, f"{prefix}rb{i}", True)
+        i += 1
+    assert i > 1, "no rb1 in evaluator state dict"
     return params, state
 
 
@@ -165,9 +170,9 @@ def dexgan_to_torch_sd(gen_params, gen_state, disc_params, disc_state
 def evaluator_to_torch_sd(params, state) -> Dict:
     out: Dict = {}
     _bn_to_sd(out, "bn1", params["bn1"], state["bn1"])
-    _resblock_to_sd(out, "rb1", params["rb1"], state["rb1"])
-    _resblock_to_sd(out, "rb2", params["rb2"], state["rb2"])
-    _resblock_to_sd(out, "rb3", params["rb3"], state["rb3"])
+    for name in sorted((k for k in params if k.startswith("rb")),
+                       key=lambda k: int(k[2:])):
+        _resblock_to_sd(out, name, params[name], state[name])
     _linear_to_sd(out, "out_success", params["out"])
     return out
 

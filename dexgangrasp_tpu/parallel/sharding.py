@@ -108,16 +108,17 @@ def gan_param_specs(mesh: Mesh) -> Dict:
             "disc_params": disc_p, "disc_state": disc_s}
 
 
-def evaluator_param_specs(mesh: Mesh) -> Dict:
+def evaluator_param_specs(mesh: Mesh, n_resblocks: int = 3) -> Dict:
     tp = "model" in mesh.axis_names and mesh.shape["model"] > 1
     rb_p = _resblock_specs(tp)
     rb_s = _resblock_state_specs(tp)
+    names = [f"rb{i + 1}" for i in range(n_resblocks)]
     return {
         "params": {"bn1": {"scale": P(), "bias": P()},
-                   "rb1": rb_p, "rb2": rb_p, "rb3": rb_p,
+                   **{n: rb_p for n in names},
                    "out": {"w": P(), "b": P()}},
         "state": {"bn1": {"mean": P(), "var": P()},
-                  "rb1": rb_s, "rb2": rb_s, "rb3": rb_s},
+                  **{n: rb_s for n in names}},
     }
 
 

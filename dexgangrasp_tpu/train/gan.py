@@ -84,6 +84,10 @@ class TrainConfig:
     # chamfer-loss training config with the Pallas/XLA chamfer reduction.
     recon_loss: str = "transl_rot_6d_l2"
     n_control_points: int = 64
+    # evaluator architecture (reference ablation grid utils/experiments.py:
+    # 3-56: 2/3/4 ResBlocks × 256/512/1024 neurons; shipped = 3 × 512)
+    eva_n_neurons: int = 512
+    eva_n_resblocks: int = 3
 
 
 def make_optimizer(lr: float, beta1: float, weight_decay: float
@@ -141,7 +145,8 @@ class GanTrainer:
         self.disc = DexDiscriminator(
             n_joints=cfg.n_joints,
             sigmoid=not (cfg.is_wgan and cfg.wgan_raw_critic))
-        self.eva = DexEvaluator()
+        self.eva = DexEvaluator(n_neurons=cfg.eva_n_neurons,
+                                n_resblocks=cfg.eva_n_resblocks)
         self.gen_tx = make_optimizer(cfg.lr_gen, cfg.beta1, cfg.weight_decay)
         self.disc_tx = make_optimizer(cfg.lr_dis, cfg.beta1, cfg.weight_decay)
         self.eva_tx = make_optimizer(cfg.lr, cfg.beta1, cfg.weight_decay)

@@ -244,6 +244,42 @@ class TestFastTrainer:
         # untrained evaluator ≈ chance
         assert 0.2 <= m["auc"] <= 0.8
 
+    def test_variable_depth_evaluator_and_folding(self):
+        """n_resblocks=2/4 variants: init/apply shapes, folding exactness,
+        torch state-dict round trip (VERDICT r1 next-5 — the ablation axis
+        must be a real architecture change)."""
+        from dexgangrasp_tpu.engine import folding
+        from dexgangrasp_tpu.models.networks import DexEvaluator
+        from dexgangrasp_tpu.models.torch_import import (
+            evaluator_from_torch_sd,
+            evaluator_to_torch_sd,
+        )
+
+        bps = jnp.asarray(rng.uniform(0, 0.2, (1, 4096)).astype(np.float32))
+        pose = jnp.asarray(rng.normal(size=(7, 12)).astype(np.float32) * 0.3)
+        for n_rb in (2, 4):
+            eva = DexEvaluator(n_resblocks=n_rb, n_neurons=128)
+            p, s = eva.init(jax.random.PRNGKey(n_rb))
+            assert set(k for k in p if k.startswith("rb")) == \
+                {f"rb{i+1}" for i in range(n_rb)}
+            out, _ = eva.apply(p, s, jnp.tile(bps, (7, 1)), pose[:, :9],
+                               pose[:, 9:], train=False)
+            assert out.shape == (7, 1)
+            # folding exactness at this depth
+            folded = folding.fold_evaluator(p, s)
+            ctx = folding.evaluator_object_context(folded, bps[0])
+            fout = folding.evaluator_apply_folded(folded, ctx, pose)
+            np.testing.assert_allclose(np.asarray(fout),
+                                       np.asarray(out[:, 0]),
+                                       atol=2e-5, rtol=1e-5)
+            # torch sd round trip preserves depth
+            sd = evaluator_to_torch_sd(p, s)
+            p2, s2 = evaluator_from_torch_sd(sd)
+            assert set(p2.keys()) == set(p.keys())
+            for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p2)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-6)
+
     def test_binary_auc_oracle(self):
         probs = np.array([0.9, 0.8, 0.7, 0.3, 0.2, 0.1])
         labels = np.array([1, 1, 0, 1, 0, 0])
