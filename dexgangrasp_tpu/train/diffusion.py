@@ -51,6 +51,12 @@ class DiffusionTrainer:
     def train_step(self, ts: DiffusionTrainState, bps: jax.Array,
                    g0: jax.Array, key: jax.Array
                    ) -> Tuple[DiffusionTrainState, jax.Array]:
+        return self.train_step_body(ts, bps, g0, key)
+
+    def train_step_body(self, ts: DiffusionTrainState, bps: jax.Array,
+                        g0: jax.Array, key: jax.Array
+                        ) -> Tuple[DiffusionTrainState, jax.Array]:
+        """Un-jitted step body (scanned by train/fast.py)."""
         loss, grads = jax.value_and_grad(self.model.loss)(ts.params, key,
                                                           bps, g0)
         updates, opt = self.tx.update(grads, ts.opt, ts.params)

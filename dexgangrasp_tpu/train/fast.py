@@ -217,6 +217,40 @@ def gan_train_chunk(trainer: GanTrainer, ts: GanTrainState,
     return jax.lax.scan(body, ts, jax.random.split(key, steps))
 
 
+def build_diffusion_table(ds: Optional[DexGeneratorDataSet], trainer,
+                          table: Optional[Dict[str, np.ndarray]] = None
+                          ) -> Dict[str, np.ndarray]:
+    """Generator table + precomputed normalized grasp vectors 'g0' for the
+    diffusion trainer (train/diffusion.py).  Pass a prebuilt generator
+    ``table`` to skip the rebuild (e.g. after fitting the normalizer)."""
+    table = dict(table) if table is not None else build_generator_table(ds)
+    batch = {"rot_matrix": table["rot9"].reshape(-1, 3, 3),
+             "transl": table["transl"], "joint_conf": table["joint_conf"],
+             "bps_object": np.zeros((1,), np.float32)}  # unused by g0
+    _, g0 = trainer.batch_to_g0(batch)
+    table["g0"] = np.asarray(g0, np.float32)
+    return table
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("trainer", "steps", "batch_size"))
+def diffusion_train_chunk(trainer, ts, table: Dict[str, jax.Array],
+                          key: jax.Array, steps: int, batch_size: int):
+    """K diffusion ε-MSE steps in one program (counterpart of the host loop
+    in train/families.py:train_diffusion)."""
+    M = table["bps_idx"].shape[0]
+
+    def body(ts, k):
+        k_rows, k_step = jax.random.split(k)
+        rows = jax.random.randint(k_rows, (batch_size,), 0, M)
+        bps = table["bps"][table["bps_idx"][rows]]
+        ts, loss = trainer.train_step_body(ts, bps, table["g0"][rows],
+                                           k_step)
+        return ts, loss
+
+    return jax.lax.scan(body, ts, jax.random.split(key, steps))
+
+
 @functools.partial(jax.jit, static_argnames=("trainer", "batch_size"))
 def evaluator_scores(trainer: GanTrainer, params, state,
                      table: Dict[str, jax.Array],
