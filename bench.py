@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Benchmark: generated+scored grasps/sec on one chip.
+"""Benchmark: generated+scored grasps/sec on one chip + cold-object latency.
 
 The BASELINE.json north-star workload: per object, encode-once →
 sample-N → generator → evaluator-score → top-k, all in one fused XLA
@@ -11,9 +11,16 @@ accumulator that is materialized to host at the end), so asynchronous
 dispatch cannot fake completion — the wall clock covers real device
 execution of K × N grasps.
 
-Prints ONE JSON line:
-  {"metric": "grasps_per_sec", "value": N, "unit": "grasps/s",
-   "vs_baseline": N/10000}
+Prints ONE JSON line.  Primary metric: amortized grasps/s (one object
+context, many sample batches).  Extra keys (VERDICT r1 next-2/next-9):
+
+- cold_object_ms / cold_object_ms_pallas: per-NEW-object serving cost —
+  BPS-encode an 8192-pt cloud + fold the object context + sample 1000
+  grasps + score + top-10, one fused program (the offline app's shape,
+  reference dexgangrasp_offline.py:99), XLA vs Pallas BPS kernel.
+- bps_encode_ms{,_pallas}: the raw encode stage alone.
+- pallas_max_abs_diff: on-hardware numerics check of the Pallas kernel
+  against the blocked-XLA path.
 """
 import json
 import sys
@@ -25,6 +32,8 @@ N_GRASPS = 16384   # grasps per pipeline iteration
 TOP_K = 1024       # approx top-k returned per iteration
 INNER_ITERS = 50   # pipeline iterations per timed program
 BASELINE = 10000.0
+COLD_OBJECTS = 32  # distinct clouds per cold-object timing chain
+CLOUD_PAD = 8192
 
 
 def main():
@@ -88,11 +97,79 @@ def main():
         dt = time.perf_counter() - t0
         best = max(best, INNER_ITERS * n / dt)
 
+    # ---------------------------------------------- cold-object serving
+    from dexgangrasp_tpu.engine.pipeline import object_to_grasps
+    from dexgangrasp_tpu.ops.bps import (
+        bps_encode_pallas,
+        bps_encode_xla,
+        load_basis,
+        pad_cloud,
+    )
+
+    basis = jnp.asarray(load_basis())
+    clouds = []
+    for i in range(COLD_OBJECTS):
+        d = rng.normal(size=(2048, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        r = rng.uniform(0.03, 0.09)
+        clouds.append(pad_cloud((r * d).astype(np.float32), CLOUD_PAD))
+    clouds = jnp.asarray(np.stack(clouds))  # (K, 8192, 3)
+
+    def cold_chain_fn(use_pallas):
+        @functools.partial(jax.jit, static_argnames=())
+        def chain(key):
+            def body(i, carry):
+                key, acc = carry
+                key, k = jax.random.split(key)
+                g = object_to_grasps(gen_folded, eva_folded, basis,
+                                     clouds[i], k, n_samples=1000,
+                                     top_k=10, use_pallas=use_pallas)
+                return (key, acc + g.score[0] + g.transl[0].sum())
+            return jax.lax.fori_loop(0, COLD_OBJECTS, body, (key, 0.0))[1]
+        return chain
+
+    def encode_chain_fn(encode):
+        @jax.jit
+        def chain(_):
+            def body(i, acc):
+                # offset each cloud by the (tiny) accumulator so iterations
+                # are data-dependent and cannot overlap/fuse away
+                enc = encode(basis, clouds[i] + acc * 1e-12)
+                return acc + enc[0]
+            return jax.lax.fori_loop(0, COLD_OBJECTS, body, 0.0)
+        return chain
+
+    def timed(fn, arg):
+        float(np.asarray(fn(arg)))  # compile + warm
+        t0 = time.perf_counter()
+        float(np.asarray(fn(arg)))
+        return (time.perf_counter() - t0) * 1000.0 / COLD_OBJECTS
+
+    extras = {}
+    on_tpu = jax.devices()[0].platform == "tpu"
+    extras["cold_object_ms"] = round(
+        timed(cold_chain_fn(False), jax.random.PRNGKey(11)), 3)
+    extras["bps_encode_ms"] = round(timed(encode_chain_fn(bps_encode_xla),
+                                          None), 3)
+    if on_tpu:
+        extras["cold_object_ms_pallas"] = round(
+            timed(cold_chain_fn(True), jax.random.PRNGKey(11)), 3)
+        extras["bps_encode_ms_pallas"] = round(
+            timed(encode_chain_fn(bps_encode_pallas), None), 3)
+        # on-hardware numerics: Pallas kernel vs blocked XLA
+        diff = 0.0
+        for i in range(4):
+            a = np.asarray(bps_encode_pallas(basis, clouds[i]))
+            b = np.asarray(bps_encode_xla(basis, clouds[i]))
+            diff = max(diff, float(np.max(np.abs(a - b))))
+        extras["pallas_max_abs_diff"] = diff
+
     print(json.dumps({
         "metric": "grasps_per_sec",
         "value": round(best, 1),
         "unit": "grasps/s",
         "vs_baseline": round(best / BASELINE, 3),
+        **extras,
     }))
 
 

@@ -160,6 +160,27 @@ def sample_and_topk_multi(gen_folded: dict, eva_folded: dict,
     return jax.vmap(per_object)(bps_batch, keys)
 
 
+@functools.partial(jax.jit, static_argnames=("n_samples", "top_k", "exact",
+                                             "use_pallas"))
+def object_to_grasps(gen_folded: dict, eva_folded: dict, basis: jax.Array,
+                     points: jax.Array, key: jax.Array,
+                     n_samples: int = 1000, top_k: int = 10,
+                     z_offset: float = DEFAULT_Z_OFFSET,
+                     exact: bool = False,
+                     use_pallas: Optional[bool] = None) -> Grasps:
+    """Cold-object serving: padded centered cloud → top-k scored grasps in
+    ONE program — BPS encode + object-context folding + sample + score +
+    top-k.  This is the per-new-object cost the offline app pays
+    (reference ``dexgangrasp_offline.py:99``: encode elsewhere, 1000
+    samples, filter); ``use_pallas`` selects the BPS kernel (Pallas TPU
+    kernel vs blocked XLA — ops/bps.py)."""
+    from dexgangrasp_tpu.ops.bps import bps_encode
+
+    bps = bps_encode(basis, points, use_pallas=use_pallas)
+    return sample_and_topk(gen_folded, eva_folded, bps, key, n_samples,
+                           top_k, z_offset=z_offset, exact=exact)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "sort"))
 def score_grasps(eva_folded: dict, bps: jax.Array, rot: jax.Array,
                  transl: jax.Array, n: int, sort: bool = False):
