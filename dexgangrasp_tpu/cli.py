@@ -103,9 +103,16 @@ import math
 import numpy as np
 
 
-def load_engine(gen_path, eva_path, basis_path=None):
-    """Thin wrapper over GraspEngine.from_checkpoints (kept as the CLI's
-    loading seam; apps import it by this name)."""
+def load_engine(gen_path, eva_path, basis_path=None, model: str = "gan"):
+    """Thin wrapper over the engine loaders (kept as the CLI's loading
+    seam; apps import it by this name).  ``model``: 'gan'/'vae' checkpoints
+    serve through GraspEngine (the VAE decoder is generator-shaped);
+    'diffusion' through DiffusionEngine (same serving surface)."""
+    if model == "diffusion":
+        from dexgangrasp_tpu.engine.diffusion_pipeline import DiffusionEngine
+
+        return DiffusionEngine.from_checkpoints(gen_path, eva_path,
+                                                basis_path)
     from dexgangrasp_tpu.engine.pipeline import GraspEngine
 
     return GraspEngine.from_checkpoints(gen_path, eva_path, basis_path)
@@ -135,6 +142,10 @@ def eval_main():
     ap.add_argument("--basis", default=None)
     ap.add_argument("--filter", action="store_true", dest="is_filter")
     ap.add_argument("--discriminator", action="store_true")
+    ap.add_argument("--model", default="gan",
+                    choices=["gan", "vae", "diffusion"],
+                    help="generator family of --gen (vae decoders serve "
+                         "through the standard engine)")
     ap.add_argument("--z-offset", type=float, default=0.025)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sweep-dir", default=None,
@@ -220,7 +231,8 @@ def _run_single(args):
                            if args.synthetic else None)
     if basis and not os.path.isfile(basis):
         basis = None
-    engine = load_engine(args.gen, args.eva, basis)
+    engine = load_engine(args.gen, args.eva, basis,
+                         model=getattr(args, "model", "gan"))
 
     sums = magd_protocol(engine, data_dir, is_filter=args.is_filter,
                          use_discriminator=args.discriminator,

@@ -58,15 +58,41 @@ def _plot_frames(ax, transl: np.ndarray, rot: np.ndarray,
                     c=colors[a], linewidth=0.8)
 
 
+def _resolve_backend(backend: str, save_path: Optional[str]) -> str:
+    """'auto' → interactive open3d when installed, nothing to save, and a
+    display exists; matplotlib otherwise (always available, headless-safe)."""
+    if backend == "auto":
+        if save_path is None and os.environ.get("DISPLAY"):
+            from dexgangrasp_tpu.utils.viz_o3d import o3d_available
+
+            if o3d_available():
+                return "open3d"
+        return "matplotlib"
+    return backend
+
+
 def show_generated_grasp_distribution(pcd_path_or_points, grasps: Dict,
-                                      save_path: Optional[str] = None):
-    """Object cloud + grasp pose triads (reference :334-423)."""
+                                      save_path: Optional[str] = None,
+                                      backend: str = "auto",
+                                      view_point_path: Optional[str] = None):
+    """Object cloud + grasp pose triads (reference :334-423).
+
+    ``backend='open3d'`` opens the reference's interactive viewer with
+    saved-viewpoint support (utils/viz_o3d.py); default 'auto' picks it
+    when open3d + a display are present and no save_path is requested."""
     if isinstance(pcd_path_or_points, str):
         from dexgangrasp_tpu.utils.pcd import load_pcd
 
         points = load_pcd(pcd_path_or_points)
     else:
         points = np.asarray(pcd_path_or_points)
+    if _resolve_backend(backend, save_path) == "open3d":
+        from dexgangrasp_tpu.utils.viz_o3d import (
+            show_generated_grasp_distribution_o3d,
+        )
+
+        return show_generated_grasp_distribution_o3d(
+            points, grasps, view_point_path=view_point_path)
     fig = plt.figure(figsize=(7, 7))
     ax = fig.add_subplot(projection="3d")
     _plot_cloud(ax, points)
@@ -81,12 +107,15 @@ def show_grasp_and_object(pcd_path_or_points, transl: np.ndarray,
                           rot: np.ndarray,
                           joint_conf: Optional[np.ndarray] = None,
                           urdf_path: Optional[str] = None,
-                          save_path: Optional[str] = None):
+                          save_path: Optional[str] = None,
+                          backend: str = "auto",
+                          view_point_path: Optional[str] = None):
     """One grasp against the object.
 
     With ``urdf_path`` (e.g. the robotiq-3f articulated URDF the reference
     renders, visualization.py:544), the hand is drawn as the FK'd link-mesh
     cloud at the given joint configuration; otherwise a palm-box proxy.
+    ``backend='open3d'`` uses the interactive viewer when available.
     """
     if isinstance(pcd_path_or_points, str):
         from dexgangrasp_tpu.utils.pcd import load_pcd
@@ -94,6 +123,12 @@ def show_grasp_and_object(pcd_path_or_points, transl: np.ndarray,
         points = load_pcd(pcd_path_or_points)
     else:
         points = np.asarray(pcd_path_or_points)
+    if _resolve_backend(backend, save_path) == "open3d":
+        from dexgangrasp_tpu.utils.viz_o3d import show_grasp_and_object_o3d
+
+        return show_grasp_and_object_o3d(
+            points, transl, rot, joint_conf=joint_conf,
+            urdf_path=urdf_path, view_point_path=view_point_path)
     fig = plt.figure(figsize=(7, 7))
     ax = fig.add_subplot(projection="3d")
     _plot_cloud(ax, points)
