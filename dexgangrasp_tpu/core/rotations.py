@@ -173,3 +173,17 @@ def mat_to_euler(m: jax.Array):
     p = jnp.arctan2(sp, cp)
     y = jnp.where(degenerate, 0.0, jnp.arctan2(sy_cp, cy_cp))
     return r, p, y
+
+
+def project_to_so3(m: jax.Array) -> jax.Array:
+    """Nearest rotation matrix (Frobenius) via SVD: U diag(1,1,det) Vᵀ.
+
+    Gradient-based grasp refinement ascends the evaluator w.r.t. the raw
+    9 rotation entries (reference dexgangrasp.py:516-541 does the same),
+    which leaves SO(3); downstream geometric consumers (oracle labeling,
+    robot transforms) need a proper rotation back."""
+    u, _, vt = jnp.linalg.svd(m)
+    det = jnp.linalg.det(u @ vt)
+    d = jnp.concatenate([jnp.ones_like(m[..., :2, 0]), det[..., None]],
+                        axis=-1)
+    return (u * d[..., None, :]) @ vt

@@ -239,6 +239,11 @@ def build_synthetic_dataset(
             pcd_dir = os.path.join(data_dir, split, "pcd", obj)
             os.makedirs(bps_dir, exist_ok=True)
             os.makedirs(pcd_dir, exist_ok=True)
+            # full (uncropped) surface per view — not part of the reference
+            # contract, but enables oracle-grounded quality studies
+            # (grasp_geometry.grasp_outcomes on generated/refined poses)
+            full_dir = os.path.join(data_dir, "full_pcd")
+            os.makedirs(full_dir, exist_ok=True)
             for vi in range(views_per_object):
                 # single-view realism (the reference's clouds are one-camera
                 # renders): keep the ``visible_fraction`` of the surface
@@ -251,21 +256,33 @@ def build_synthetic_dataset(
                 view_dir /= np.linalg.norm(view_dir)
                 proj = cloud @ view_dir
                 visible = proj < np.quantile(proj, visible_fraction)
-                view_cloud = cloud[visible]
+                # small per-view pose jitter, applied to the WHOLE frame:
+                # the view cloud is rotated AND the view's mesh_to_centroid
+                # transform composes the same rotation, so GT grasps land
+                # in the exact frame of this view's cloud (the reference's
+                # per-view transforms have the same property; storing one
+                # shared transform while rotating the cloud would skew
+                # grasp labels ~3° against the BPS)
                 view_R = _Rot.from_rotvec(
                     rng.normal(size=3) * 0.05).as_matrix()
-                view_cloud = (view_R @ view_cloud.T).T.astype(np.float32)
+                view_full = (view_R @ cloud.T).T.astype(np.float32)
+                view_cloud = view_full[visible]
                 enc = encoder.encode(view_cloud, check_centered=True)
                 stem = f"{obj}_bps{vi:03d}"
                 np.save(os.path.join(bps_dir, stem + ".npy"),
                         enc[None].astype(np.float32))
                 save_pcd(os.path.join(pcd_dir,
                                       f"{obj}_pcd{vi:03d}.pcd"), view_cloud)
-                # mesh_to_centroid transform per view (pos + quat xyzw)
-                q = _Rot.from_matrix(centr_T_mesh[:3, :3]).as_quat()
+                np.save(os.path.join(full_dir, f"{obj}_pcd{vi:03d}.npy"),
+                        view_full)
+                # per-view mesh_to_centroid transform (pos + quat xyzw)
+                T_view = np.eye(4)
+                T_view[:3, :3] = view_R
+                T_view = T_view @ centr_T_mesh
+                q = _Rot.from_matrix(T_view[:3, :3]).as_quat()
                 obj_tf.create_dataset(
                     f"{obj}_pcd{vi:03d}_mesh_to_centroid",
-                    data=np.concatenate([centr_T_mesh[:3, 3], q]))
+                    data=np.concatenate([T_view[:3, 3], q]))
 
             rows.append({"Unnamed: 0": obj, "positive": grasps_per_object,
                          "negative": grasps_per_object,

@@ -160,6 +160,44 @@ def sample_and_topk_multi(gen_folded: dict, eva_folded: dict,
     return jax.vmap(per_object)(bps_batch, keys)
 
 
+@functools.partial(jax.jit, static_argnames=("n", "top_k", "refine_steps",
+                                             "exact"))
+def sample_refine_rescore(gen_folded: dict, eva_folded: dict,
+                          bps: jax.Array, key: jax.Array, n: int,
+                          top_k: int, refine_steps: int = 10,
+                          z_offset: float = DEFAULT_Z_OFFSET,
+                          exact: bool = False):
+    """The full serving chain in ONE program: sample n → score →
+    gradient-refine (evaluator ascent, engine/refine.py) → re-score →
+    top-k.  The reference runs refinement as a separate host loop after
+    generation (``dexgangrasp.py:619-660``); fusing it keeps the grasp
+    batch on device end to end.
+
+    Returns (Grasps top-k sorted by the refined score, success trajectory
+    (refine_steps+1, n) for the refinement viewer).  Refined rotations are
+    projected back to SO(3) (the raw ascent leaves the manifold — same as
+    the reference's direct matrix update)."""
+    from dexgangrasp_tpu.core.rotations import project_to_so3
+    from dexgangrasp_tpu.engine.refine import refine_grasps_gradient
+
+    g = sample_and_score(gen_folded, eva_folded, bps, key, n,
+                         z_offset=z_offset, sort=False)
+    rot, transl, joints, traj = refine_grasps_gradient(
+        eva_folded, bps, g.rot_matrix, g.transl, g.joint_conf,
+        num_steps=refine_steps)
+    rot = project_to_so3(rot)
+    ctx = folding.evaluator_object_context(eva_folded, bps)
+    pose = jnp.concatenate([rot.reshape(n, 9), transl], axis=1)
+    score = folding.evaluator_apply_folded(eva_folded, ctx, pose)
+    out = Grasps(transl=transl, rot_matrix=rot, joint_conf=joints,
+                 score=score, z=g.z)
+    if exact:
+        _, order = jax.lax.top_k(score, top_k)
+    else:
+        _, order = jax.lax.approx_max_k(score, top_k)
+    return out.take(order), traj
+
+
 @functools.partial(jax.jit, static_argnames=("n_samples", "top_k", "exact",
                                              "use_pallas"))
 def object_to_grasps(gen_folded: dict, eva_folded: dict, basis: jax.Array,

@@ -158,6 +158,72 @@ class TestOracleLabeledDataset:
         assert not grasp_outcomes(cloud, t_h, R_h, g)["success"].any()
 
 
+class TestViewFrameConsistency:
+    def test_gt_positives_pass_oracle_in_view_frame(self, synth_dir):
+        """The builder stores per-view mesh_to_centroid transforms composed
+        with the view jitter; GT positives mapped through them must land on
+        the view's full cloud (oracle re-labels them successful).  Catches
+        any skew between the BPS frame and the grasp frame."""
+        ds = DexGeneratorDataSet(synth_dir, "eval", seed=0)
+        checked = 0
+        for bps_path in sorted(set(ds.bps_paths)):
+            stem = os.path.split(bps_path)[1].replace("bps", "pcd")
+            full = np.load(os.path.join(
+                synth_dir, "full_pcd", stem.replace(".npy", "") + ".npy"))
+            pcd_path = bps_path.replace("bps", "pcd").replace(".npy", ".pcd")
+            gt = ds.get_grasps_from_pcd_path(pcd_path)
+            g = GripperParams(min_contact_points=max(4, 512 // 170))
+            out = grasp_outcomes(full, gt["transl"], gt["rot_matrix"], g)
+            assert out["success"].all()
+            checked += 1
+        assert checked >= 2
+
+    def test_fused_refine_chain_matches_pieces(self, synth_dir):
+        """sample_refine_rescore == sample_and_score + refine + rescore."""
+        from dexgangrasp_tpu.core.rotations import project_to_so3
+        from dexgangrasp_tpu.engine import folding
+        from dexgangrasp_tpu.engine.pipeline import (
+            sample_and_score,
+            sample_refine_rescore,
+        )
+        from dexgangrasp_tpu.engine.refine import refine_grasps_gradient
+        from dexgangrasp_tpu.models.networks import init_dexgan, init_evaluator
+
+        (_, gp, gs), _ = init_dexgan(jax.random.PRNGKey(0))
+        _, ep, es = init_evaluator(jax.random.PRNGKey(1))
+        gf = folding.fold_generator(gp, gs)
+        ef = folding.fold_evaluator(ep, es)
+        bps = jnp.asarray(rng.uniform(0, 0.2, 4096).astype(np.float32))
+        key = jax.random.PRNGKey(2)
+        n, k = 64, 8
+
+        fused, traj = sample_refine_rescore(gf, ef, bps, key, n, k,
+                                            refine_steps=3, exact=True)
+
+        g = sample_and_score(gf, ef, bps, key, n, sort=False)
+        rot, transl, joints, traj2 = refine_grasps_gradient(
+            ef, bps, g.rot_matrix, g.transl, g.joint_conf, num_steps=3)
+        rot = project_to_so3(rot)
+        pose = jnp.concatenate([rot.reshape(n, 9), transl], axis=1)
+        ctx = folding.evaluator_object_context(ef, bps)
+        score = folding.evaluator_apply_folded(ef, ctx, pose)
+        order = np.asarray(jax.lax.top_k(score, k)[1])
+
+        np.testing.assert_allclose(np.asarray(fused.transl),
+                                   np.asarray(transl)[order], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(fused.score),
+                                   np.asarray(score)[order], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(traj), np.asarray(traj2),
+                                   atol=1e-6)
+        # refinement must not decrease the mean evaluator score
+        assert np.asarray(traj)[-1].mean() >= np.asarray(traj)[0].mean() - 1e-5
+        # rotations are proper after projection
+        R = np.asarray(fused.rot_matrix)
+        np.testing.assert_allclose(np.einsum("bij,bkj->bik", R, R),
+                                   np.broadcast_to(np.eye(3), R.shape),
+                                   atol=1e-5)
+
+
 class TestFastTrainer:
     def test_evaluator_table_matches_index(self, synth_dir):
         ds = DexEvaluatorDataSet(synth_dir, "train", seed=0)
