@@ -170,13 +170,20 @@ def build_synthetic_dataset(
         seed: int = 0,
         hard_neg_factor: float = 1.5,
         visible_fraction: float = 0.65,
-        gripper: Optional[GripperParams] = None) -> Dict:
+        gripper: Optional[GripperParams] = None,
+        aug_rots_per_view: int = 0) -> Dict:
     """Create the dataset tree; returns summary info.
 
     ``grasps_per_object`` = positives per object (same count of negatives,
     plus ``hard_neg_factor``× relabeled hard negatives in a
     ``hard_negative`` h5 group that DexEvaluatorDataSet prefers over
-    on-the-fly perturbation when present)."""
+    on-the-fly perturbation when present).
+
+    ``aug_rots_per_view`` > 0 additionally emits that many random-rotation
+    augmented copies of each view (tools/augment.py, the reference's
+    ``apply_random_rot_transf.py`` convention: Rz·Ry·Rx with U[0,1)-rad
+    angles), each with its own re-encoded BPS and a per-view transform
+    composing the augmentation — grasp labels stay frame-exact."""
     import pandas as pd
 
     rng = np.random.default_rng(seed)
@@ -244,7 +251,14 @@ def build_synthetic_dataset(
             # (grasp_geometry.grasp_outcomes on generated/refined poses)
             full_dir = os.path.join(data_dir, "full_pcd")
             os.makedirs(full_dir, exist_ok=True)
-            for vi in range(views_per_object):
+            # view index stream: base views get small jitter; augmented
+            # copies (aug_rots_per_view each) get a reference-convention
+            # random rotation (tools/augment.py)
+            view_plan = []
+            for _ in range(views_per_object):
+                view_plan.append(False)
+                view_plan += [True] * aug_rots_per_view
+            for vi, is_aug in enumerate(view_plan):
                 # single-view realism (the reference's clouds are one-camera
                 # renders): keep the ``visible_fraction`` of the surface
                 # facing a random view direction, plus small pose jitter.
@@ -263,8 +277,15 @@ def build_synthetic_dataset(
                 # per-view transforms have the same property; storing one
                 # shared transform while rotating the cloud would skew
                 # grasp labels ~3° against the BPS)
-                view_R = _Rot.from_rotvec(
-                    rng.normal(size=3) * 0.05).as_matrix()
+                if is_aug:
+                    from dexgangrasp_tpu.tools.augment import (
+                        generate_random_rot_max,
+                    )
+
+                    view_R = generate_random_rot_max(rng)
+                else:
+                    view_R = _Rot.from_rotvec(
+                        rng.normal(size=3) * 0.05).as_matrix()
                 view_full = (view_R @ cloud.T).T.astype(np.float32)
                 view_cloud = view_full[visible]
                 enc = encoder.encode(view_cloud, check_centered=True)

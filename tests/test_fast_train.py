@@ -224,6 +224,64 @@ class TestViewFrameConsistency:
                                    atol=1e-5)
 
 
+class TestRotationAugmentation:
+    def test_reference_convention_round_trip(self):
+        """generate_random_rot_max == Rz(γ)Ry(β)Rx(α) == euler_to_mat
+        (reference apply_random_rot_transf.py:23-31 convention)."""
+        import jax.numpy as jnp
+
+        from dexgangrasp_tpu.core.rotations import euler_to_mat
+        from dexgangrasp_tpu.tools.augment import generate_random_rot_max
+
+        r = np.random.default_rng(3)
+        angles = np.random.default_rng(3).random(3)  # same stream
+        R = generate_random_rot_max(r)
+        want = np.asarray(euler_to_mat(jnp.asarray(angles[0]),
+                                       jnp.asarray(angles[1]),
+                                       jnp.asarray(angles[2])))
+        np.testing.assert_allclose(R, want, atol=1e-6)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+
+    def test_label_invariance_under_augmentation(self):
+        from dexgangrasp_tpu.data.synthetic import (
+            _labeled_grasps,
+            _superquadric_cloud,
+        )
+        from dexgangrasp_tpu.tools.augment import (
+            augment_view,
+            generate_random_rot_max,
+        )
+
+        r = np.random.default_rng(5)
+        cloud = _superquadric_cloud(r, 1024)
+        g = GripperParams(min_contact_points=max(4, 1024 // 170))
+        (t_p, R_p, _), (t_n, R_n, _) = _labeled_grasps(r, cloud, 8, 8, g)
+        R = generate_random_rot_max(r)
+        c2, tp2, Rp2 = augment_view(cloud, t_p, R_p, R)
+        _, tn2, Rn2 = augment_view(cloud, t_n, R_n, R)
+        assert grasp_outcomes(c2, tp2, Rp2, g)["success"].all()
+        assert not grasp_outcomes(c2, tn2, Rn2, g)["success"].any()
+
+    def test_builder_opt_in(self, tmp_path):
+        d = str(tmp_path / "aug_ds")
+        build_synthetic_dataset(d, n_objects=2, views_per_object=1,
+                                grasps_per_object=6, points_per_cloud=512,
+                                seed=7, aug_rots_per_view=2)
+        ds = DexGeneratorDataSet(d, "train", seed=0)
+        views = sorted(set(ds.bps_paths))
+        assert len(views) == 1 * 3  # 1 train object × (1 base + 2 aug)
+        # augmented views keep the frame-exact invariant
+        g = GripperParams(min_contact_points=max(4, 512 // 170))
+        for bps_path in views:
+            stem = os.path.split(bps_path)[1].replace("bps", "pcd")
+            full = np.load(os.path.join(
+                d, "full_pcd", stem.replace(".npy", "") + ".npy"))
+            gt = ds.get_grasps_from_pcd_path(
+                bps_path.replace("bps", "pcd").replace(".npy", ".pcd"))
+            assert grasp_outcomes(full, gt["transl"], gt["rot_matrix"],
+                                  g)["success"].all()
+
+
 class TestFastTrainer:
     def test_evaluator_table_matches_index(self, synth_dir):
         ds = DexEvaluatorDataSet(synth_dir, "train", seed=0)
