@@ -24,12 +24,99 @@ from dexgangrasp_tpu.models.diffusion import DexDiffuser, split_grasp_vector
 
 
 @functools.partial(jax.jit, static_argnames=("model", "n", "steps"))
+def sample_guided(model: DexDiffuser, diff_params: dict, eva_folded: dict,
+                  normalizer, bps: jax.Array, key: jax.Array, n: int,
+                  steps: int = 50, guidance_scale: float = 1.0,
+                  grad_clip: float = 1.0,
+                  z_offset: float = 0.025) -> jax.Array:
+    """Evaluator-guided DDIM: (4096,) bps → (n, g_dim) normalized grasps.
+
+    Classifier guidance (Dhariwal & Nichol, arXiv:2105.05233) with the
+    trained DexEvaluator as the classifier: at each DDIM step the clean-
+    grasp estimate ``g0_hat`` is nudged along ∇ log p_success — the same
+    ascent direction as post-hoc refinement (engine/refine.py, reference
+    ``dexgangrasp.py:619-660``) but applied *inside* the sampler, so the
+    denoiser keeps every intermediate on the data manifold instead of the
+    ascent walking off it after sampling ends.
+
+    TPU-first structure: the object condition embedding AND the folded
+    evaluator's per-object context are hoisted out of the scan (computed
+    once); each step is matmuls + one small reverse-mode sweep, all under
+    one jit.  The gradient flows through denormalize → 6D-rot Gram-Schmidt
+    → palm back-off → folded evaluator, exactly the serving pose path.
+
+    ``guidance_scale == 0`` reduces to plain DDIM (the re-derived ε is
+    algebraically identical).  Gradients are per-sample norm-clipped to
+    ``grad_clip`` (normalized-space units) and weighted by (1 - ᾱ_t) so
+    guidance is strong while the estimate is coarse and gentle near t=0.
+    """
+    cond = model.embed_object(diff_params, bps)
+    ectx = folding.evaluator_object_context(eva_folded, bps)
+    g = jax.random.normal(key, (n, model.g_dim), bps.dtype)
+    ts = jnp.linspace(1.0, 0.0, steps + 1, dtype=bps.dtype)
+    from dexgangrasp_tpu.models.diffusion import cosine_alpha_bar
+
+    def logp_sum(g0n: jax.Array) -> jax.Array:
+        gd = normalizer.denormalize(g0n) if normalizer is not None else g0n
+        rot6, transl, _ = split_grasp_vector(gd, model.n_joints)
+        rot = rot_matrix_from_ortho6d(rot6)
+        transl = translate_along_axis(transl, rot, 0, z_offset)
+        pose = jnp.concatenate([rot.reshape(n, 9), transl], axis=1)
+        p = folding.evaluator_apply_folded(eva_folded, ectx, pose)
+        return jnp.sum(jnp.log(p + 1e-6))
+
+    grad_logp = jax.grad(logp_sum)
+
+    def body(g, i):
+        t_now, t_next = ts[i], ts[i + 1]
+        ab_now = cosine_alpha_bar(t_now)
+        ab_next = cosine_alpha_bar(t_next)
+        e = model.eps(diff_params, cond, g, jnp.full((n,), t_now, g.dtype))
+        g0_hat = (g - jnp.sqrt(1 - ab_now) * e) / jnp.sqrt(ab_now)
+        grad = grad_logp(g0_hat)
+        norm = jnp.linalg.norm(grad, axis=-1, keepdims=True)
+        grad = grad * jnp.minimum(1.0, grad_clip / jnp.maximum(norm, 1e-12))
+        g0_hat = g0_hat + guidance_scale * (1 - ab_now) * grad
+        # re-derive ε consistent with the guided estimate so the DDIM
+        # update stays an exact interpolation toward it
+        e_adj = (g - jnp.sqrt(ab_now) * g0_hat) / jnp.sqrt(1 - ab_now)
+        g = jnp.sqrt(ab_next) * g0_hat + jnp.sqrt(1 - ab_next) * e_adj
+        return g, None
+
+    g, _ = jax.lax.scan(body, g, jnp.arange(steps))
+    return g
+
+
+@functools.partial(jax.jit, static_argnames=("model", "n", "steps"))
 def sample_and_score_diffusion(model: DexDiffuser, diff_params: dict,
                                eva_folded: dict, normalizer, bps: jax.Array,
                                key: jax.Array, n: int, steps: int = 50,
                                z_offset: float = 0.025) -> Grasps:
     """bps (4096,) → n evaluator-scored diffusion grasps (no top-k cut)."""
     g = model.sample(diff_params, bps, key, n, steps=steps)
+    if normalizer is not None:
+        g = normalizer.denormalize(g)
+    rot6, transl, joints = split_grasp_vector(g, model.n_joints)
+    rot = rot_matrix_from_ortho6d(rot6)
+    transl = translate_along_axis(transl, rot, 0, z_offset)
+    pose = jnp.concatenate([rot.reshape(n, 9), transl], axis=1)
+    ectx = folding.evaluator_object_context(eva_folded, bps)
+    score = folding.evaluator_apply_folded(eva_folded, ectx, pose)
+    return Grasps(transl=transl, rot_matrix=rot, joint_conf=joints,
+                  score=score, z=g)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "n", "steps"))
+def sample_and_score_guided(model: DexDiffuser, diff_params: dict,
+                            eva_folded: dict, normalizer, bps: jax.Array,
+                            key: jax.Array, n: int, steps: int = 50,
+                            guidance_scale: float = 1.0,
+                            grad_clip: float = 1.0,
+                            z_offset: float = 0.025) -> Grasps:
+    """bps (4096,) → n evaluator-GUIDED, evaluator-scored grasps."""
+    g = sample_guided(model, diff_params, eva_folded, normalizer, bps, key,
+                      n, steps=steps, guidance_scale=guidance_scale,
+                      grad_clip=grad_clip, z_offset=z_offset)
     if normalizer is not None:
         g = normalizer.denormalize(g)
     rot6, transl, joints = split_grasp_vector(g, model.n_joints)
@@ -77,7 +164,7 @@ class DiffusionEngine:
     def __init__(self, diff_params: dict, eva_params: dict, eva_state: dict,
                  normalizer=None, model: DexDiffuser = None,
                  basis=None, z_offset: float = 0.025, cloud_pad: int = 8192,
-                 ddim_steps: int = 50):
+                 ddim_steps: int = 50, guidance_scale: float = 0.0):
         from dexgangrasp_tpu.ops.bps import BPSEncoder
 
         self.model = model or DexDiffuser()
@@ -88,6 +175,7 @@ class DiffusionEngine:
         self.encoder = BPSEncoder(basis=basis, cloud_pad=cloud_pad)
         self.z_offset = z_offset
         self.ddim_steps = ddim_steps
+        self.guidance_scale = guidance_scale
         self._key = jax.random.PRNGKey(0)
 
     @classmethod
@@ -117,17 +205,25 @@ class DiffusionEngine:
         self._key, k = jax.random.split(self._key)
         return k
 
-    def generate(self, bps, n_samples: int, seed=None, z_offset=None
-                 ) -> Grasps:
+    def generate(self, bps, n_samples: int, seed=None, z_offset=None,
+                 guidance_scale=None) -> Grasps:
         bps = jnp.asarray(bps, jnp.float32).reshape(-1)
+        zo = self.z_offset if z_offset is None else z_offset
+        gs = self.guidance_scale if guidance_scale is None else guidance_scale
+        if gs:
+            return sample_and_score_guided(
+                self.model, self.diff_params, self.eva_folded,
+                self.normalizer, bps, self._next_key(seed), n_samples,
+                steps=self.ddim_steps, guidance_scale=gs, z_offset=zo)
         return sample_and_score_diffusion(
             self.model, self.diff_params, self.eva_folded, self.normalizer,
             bps, self._next_key(seed), n_samples, steps=self.ddim_steps,
-            z_offset=self.z_offset if z_offset is None else z_offset)
+            z_offset=zo)
 
     def generate_grasps(self, bps, n_samples: int, return_arr: bool = True,
-                        z_offset=None, seed=None):
-        g = self.generate(bps, n_samples, seed=seed, z_offset=z_offset)
+                        z_offset=None, seed=None, guidance_scale=None):
+        g = self.generate(bps, n_samples, seed=seed, z_offset=z_offset,
+                          guidance_scale=guidance_scale)
         return g.to_dict(numpy=return_arr)
 
     # evaluator-backed scoring/filtering is generator-agnostic — reuse the
