@@ -88,6 +88,14 @@ class TrainConfig:
     # 3-56: 2/3/4 ResBlocks × 256/512/1024 neurons; shipped = 3 × 512)
     eva_n_neurons: int = 512
     eva_n_resblocks: int = 3
+    # mode-seeking diversity regularizer (MSGAN, arXiv:1903.05628) — a
+    # beyond-reference knob attacking the cGAN family's mode collapse (the
+    # reference's 100·transl recon loss pulls G(z) toward the conditional
+    # mean regardless of z; docs/RESULTS.md coverage 0.007).  Adds
+    # ms_coef · mean(1 / (‖G(z1)−G(z2)‖₁/‖z1−z2‖₁ + ε)) to the generator
+    # loss.  0.0 (default) = reference-faithful objective, extra forward
+    # skipped entirely.
+    ms_coef: float = 0.0
 
 
 def make_optimizer(lr: float, beta1: float, weight_decay: float
@@ -354,6 +362,25 @@ class GanTrainer:
                     "conf_loss": cfg.conf_coef * conf_l2,
                 }
                 total = adv + logs["transl_loss"] + logs["rot_loss"] + logs["conf_loss"]
+                if cfg.ms_coef:
+                    # mode-seeking term: second z draw on the same bps rows;
+                    # BN state of the extra forward is discarded (the
+                    # regularizer must not perturb running-stat parity)
+                    z2 = jax.random.normal(
+                        jax.random.fold_in(key, 0x6d73),  # 'ms'
+                        z.shape, jnp.float32)
+                    yf2, _ = self.gen.apply(gen_params, ts.gen_state, z2,
+                                            bps, train=True)
+                    g1 = jnp.concatenate(
+                        [yf.rot_6d, yf.transl, yf.joint_conf], axis=-1)
+                    g2 = jnp.concatenate(
+                        [yf2.rot_6d, yf2.transl, yf2.joint_conf], axis=-1)
+                    num = jnp.mean(jnp.abs(g1 - g2), axis=-1)
+                    den = jnp.mean(jnp.abs(z - z2), axis=-1)
+                    ratio = num / jnp.maximum(den, 1e-8)
+                    logs["ms_loss"] = cfg.ms_coef * jnp.mean(
+                        1.0 / (ratio + 1e-5))
+                    total = total + logs["ms_loss"]
                 logs["total_loss_gen"] = total
                 return total, (gs, ds3, logs)
 

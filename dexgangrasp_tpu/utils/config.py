@@ -117,4 +117,5 @@ def train_config_from_cfg(cfg: dict):
         is_wgan=cfg["is_wgan"], gen_train_freq=cfg["gen_train_freq"],
         init_type=cfg["weight_init_type"], init_gain=cfg["init_gain"],
         recon_loss=cfg.get("recon_loss", "transl_rot_6d_l2"),
+        ms_coef=cfg.get("ms_coef", 0.0),
     )

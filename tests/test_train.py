@@ -99,6 +99,32 @@ def test_gan_step_runs_and_descends(is_wgan):
     assert int(ts.step) == 8
 
 
+def test_mode_seeking_regularizer():
+    """ms_coef > 0 adds a finite ms_loss, changes the generator update, and
+    pushes toward higher output diversity than the plain objective."""
+    batch = _toy_batch(32)
+    key = jax.random.PRNGKey(0)
+
+    def run(ms_coef, steps=12):
+        trainer = GanTrainer(TrainConfig(ms_coef=ms_coef, lr_gen=1e-3))
+        ts = trainer.init_gan_state(jax.random.PRNGKey(0))
+        for i in range(steps):
+            ts, logs = trainer.gan_step(ts, batch, jax.random.fold_in(key, i))
+        # output spread over z at fixed bps
+        z = jax.random.normal(jax.random.PRNGKey(99), (64, 5))
+        bps = jnp.broadcast_to(batch["bps_object"][0], (64, 4096))
+        y, _ = trainer.gen.apply(ts.gen_params, ts.gen_state, z, bps,
+                                 train=False)
+        spread = float(jnp.mean(jnp.std(y.transl, axis=0)))
+        return logs, spread
+
+    logs_ms, spread_ms = run(0.05)
+    logs_off, spread_off = run(0.0)
+    assert "ms_loss" in logs_ms and np.isfinite(float(logs_ms["ms_loss"]))
+    assert "ms_loss" not in logs_off
+    assert spread_ms > spread_off
+
+
 def test_gan_step_disc_only():
     trainer = GanTrainer(TrainConfig())
     ts = trainer.init_gan_state(jax.random.PRNGKey(0))
