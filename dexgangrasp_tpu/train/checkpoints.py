@@ -1,12 +1,19 @@
 """Checkpoint save/load.
 
-Two formats:
+Three formats:
 
 - **native**: a single ``.npz`` per net holding the flattened param/state/
   optimizer pytrees plus scheduler state and epoch — fast, dependency-free,
   resumable (replaces the reference's torch.save dicts,
   ``dexgangrasp.py:662-712``).  File naming follows the reference:
   ``{epoch}_gen_net.npz`` / ``{epoch}_eva_net.npz`` under a run dir.
+- **orbax** (``backend="orbax"``): an orbax-checkpoint directory per net
+  (``{epoch}_gen_net.orbax/``) — the multi-host/multi-slice option: orbax
+  writes device-sharded arrays in parallel without host gathering.  The
+  leaves are stored flat under our own pickled treedefs (sidecar), so
+  optax optimizer states restore to their exact structure rather than
+  orbax's plain-dict reconstruction.  ``load_pytrees`` auto-detects the
+  format from the path (directory → orbax, file → npz).
 - **torch interop**: import the reference's legacy ``ffh*``-keyed ``.pt``
   checkpoints / export ours to that layout (models/torch_import.py), so
   weights flow both ways between the frameworks.
@@ -25,11 +32,17 @@ import jax.numpy as jnp
 
 
 def save_pytrees(path: str, trees: Dict[str, Any],
-                 meta: Optional[dict] = None) -> None:
-    """Save named pytrees + JSON-able metadata into one npz.
+                 meta: Optional[dict] = None,
+                 backend: str = "npz") -> None:
+    """Save named pytrees + JSON-able metadata into one npz (default) or
+    an orbax checkpoint directory (``backend="orbax"``).
 
     Tree *structures* are stored via pickled treedefs; leaves as arrays.
     """
+    if backend == "orbax":
+        return _save_pytrees_orbax(path, trees, meta)
+    if backend != "npz":
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
     arrays: Dict[str, np.ndarray] = {}
     structs: Dict[str, bytes] = {}
     for name, tree in trees.items():
@@ -47,7 +60,52 @@ def save_pytrees(path: str, trees: Dict[str, Any],
     os.replace(tmp, path)
 
 
+def _save_pytrees_orbax(path: str, trees: Dict[str, Any],
+                        meta: Optional[dict] = None) -> None:
+    """Orbax backend: leaves flat (name::i), treedefs + meta as sidecars.
+
+    Orbax writes each (possibly device-sharded) array in parallel from all
+    hosts — the backend for multi-slice runs where gathering the full
+    optimizer state onto one host (the npz path) would not scale.
+    """
+    import orbax.checkpoint as ocp
+
+    flat: Dict[str, Any] = {}
+    structs: Dict[str, bytes] = {}
+    for name, tree in trees.items():
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        structs[name] = pickle.dumps(treedef)
+        for i, leaf in enumerate(leaves):
+            flat[f"{name}::{i}"] = jnp.asarray(leaf)
+    path = os.path.abspath(path)
+    ocp.PyTreeCheckpointer().save(path, flat, force=True)
+    with open(os.path.join(path, "dexgg_structs.pkl"), "wb") as f:
+        pickle.dump(structs, f)
+    with open(os.path.join(path, "dexgg_meta.json"), "w") as f:
+        json.dump(meta or {}, f)
+
+
+def _load_pytrees_orbax(path: str) -> Tuple[Dict[str, Any], dict]:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "dexgg_structs.pkl"), "rb") as f:
+        structs = pickle.load(f)
+    with open(os.path.join(path, "dexgg_meta.json")) as f:
+        meta = json.load(f)
+    flat = ocp.PyTreeCheckpointer().restore(path)
+    out = {}
+    for name, treedef_b in structs.items():
+        treedef = pickle.loads(treedef_b)
+        leaves = [flat[f"{name}::{i}"]
+                  for i in range(treedef.num_leaves)]
+        out[name] = jax.tree_util.tree_unflatten(treedef, leaves)
+    return out, meta
+
+
 def load_pytrees(path: str) -> Tuple[Dict[str, Any], dict]:
+    if os.path.isdir(path):
+        return _load_pytrees_orbax(path)
     z = np.load(path, allow_pickle=False)
     structs = pickle.loads(z["__structs__"].tobytes())
     meta = json.loads(z["__meta__"].tobytes().decode())
@@ -63,17 +121,19 @@ def load_pytrees(path: str) -> Tuple[Dict[str, Any], dict]:
 # ----------------------------------------------------------- run-dir layout
 
 
-def gen_ckpt_path(save_dir: str, epoch) -> str:
-    return os.path.join(save_dir, f"{epoch}_gen_net.npz")
+def gen_ckpt_path(save_dir: str, epoch, backend: str = "npz") -> str:
+    ext = "orbax" if backend == "orbax" else "npz"
+    return os.path.join(save_dir, f"{epoch}_gen_net.{ext}")
 
 
-def eva_ckpt_path(save_dir: str, epoch) -> str:
-    return os.path.join(save_dir, f"{epoch}_eva_net.npz")
+def eva_ckpt_path(save_dir: str, epoch, backend: str = "npz") -> str:
+    ext = "orbax" if backend == "orbax" else "npz"
+    return os.path.join(save_dir, f"{epoch}_eva_net.{ext}")
 
 
 def save_gan(save_dir: str, epoch, ts, scheduler_gen=None,
-             scheduler_disc=None) -> str:
-    path = gen_ckpt_path(save_dir, epoch)
+             scheduler_disc=None, backend: str = "npz") -> str:
+    path = gen_ckpt_path(save_dir, epoch, backend)
     meta = {"epoch": int(epoch) if isinstance(epoch, int) else epoch}
     if scheduler_gen is not None:
         meta["scheduler_gen"] = scheduler_gen.state_dict()
@@ -84,7 +144,7 @@ def save_gan(save_dir: str, epoch, ts, scheduler_gen=None,
         "disc_params": ts.disc_params, "disc_state": ts.disc_state,
         "gen_opt": ts.gen_opt, "disc_opt": ts.disc_opt,
         "step": ts.step,
-    }, meta)
+    }, meta, backend=backend)
     return path
 
 
@@ -103,13 +163,15 @@ def load_gan(path: str, ts_template=None):
         step=trees["step"]), meta
 
 
-def save_evaluator(save_dir: str, epoch, ts, scheduler=None) -> str:
-    path = eva_ckpt_path(save_dir, epoch)
+def save_evaluator(save_dir: str, epoch, ts, scheduler=None,
+                   backend: str = "npz") -> str:
+    path = eva_ckpt_path(save_dir, epoch, backend)
     meta = {"epoch": int(epoch) if isinstance(epoch, int) else epoch}
     if scheduler is not None:
         meta["scheduler"] = scheduler.state_dict()
     save_pytrees(path, {"params": ts.params, "state": ts.state,
-                        "opt": ts.opt, "step": ts.step}, meta)
+                        "opt": ts.opt, "step": ts.step}, meta,
+                 backend=backend)
     return path
 
 
@@ -124,12 +186,14 @@ def load_evaluator(path: str, as_state: bool = False):
 
 
 def latest_epoch(save_dir: str, kind: str = "gen") -> Optional[int]:
-    """Find the newest ``{epoch}_{kind}_net.npz`` in a run dir (fixes the
-    reference's broken epoch==-1 'latest' path, dexgangrasp.py:574-577)."""
+    """Find the newest ``{epoch}_{kind}_net.{npz,orbax}`` in a run dir
+    (fixes the reference's broken epoch==-1 'latest' path,
+    dexgangrasp.py:574-577)."""
     best = None
     for f in os.listdir(save_dir):
         parts = f.split("_")
-        if len(parts) >= 3 and parts[1] == kind and f.endswith(".npz"):
+        if len(parts) >= 3 and parts[1] == kind and \
+                (f.endswith(".npz") or f.endswith(".orbax")):
             try:
                 e = int(parts[0])
             except ValueError:

@@ -232,6 +232,23 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(ts3.step) == int(ts.step) + 1
 
 
+def test_checkpoint_roundtrip_orbax(tmp_path):
+    """Orbax backend: directory checkpoints round-trip the full train
+    state (exact optax structure via sidecar treedefs) and resume."""
+    trainer = GanTrainer(TrainConfig())
+    ts = trainer.init_gan_state(jax.random.PRNGKey(0))
+    p1 = save_gan(str(tmp_path), 5, ts, backend="orbax")
+    assert p1.endswith("5_gen_net.orbax") and latest_epoch(
+        str(tmp_path), "gen") == 5
+    ts2, meta = load_gan(p1, ts_template=ts)  # auto-detects orbax dir
+    assert meta["epoch"] == 5
+    for a, b in zip(jax.tree.leaves(ts.gen_opt), jax.tree.leaves(ts2.gen_opt)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    assert get_lr(ts2.gen_opt) == get_lr(ts.gen_opt)
+    ts3, _ = trainer.gan_step(ts2, _toy_batch(8), jax.random.PRNGKey(9))
+    assert int(ts3.step) == int(ts.step) + 1
+
+
 def test_set_lr_affects_updates():
     trainer = GanTrainer(TrainConfig())
     ts = trainer.init_gan_state(jax.random.PRNGKey(0))
