@@ -24,8 +24,17 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def dp_axes(mesh: Mesh) -> tuple:
+    """The data-parallel mesh axes, outermost first: ('dcn', 'data') on a
+    multi-slice mesh, ('data',) on a single slice.  A batch dimension
+    sharded over the tuple spans both wires; GSPMD emits a hierarchical
+    all-reduce (ICI within a slice, then DCN across slices)."""
+    axes = tuple(a for a in ("dcn", "data") if a in mesh.axis_names)
+    return axes or (mesh.axis_names[0],)
+
+
 def batch_spec(mesh: Mesh) -> P:
-    return P("data") if "data" in mesh.axis_names else P(mesh.axis_names[0])
+    return P(dp_axes(mesh))
 
 
 def replicated_spec() -> P:
@@ -132,12 +141,14 @@ def sharded_gan_step(trainer, mesh: Mesh):
     by GSPMD."""
     rep = NamedSharding(mesh, P())
 
+    dp = dp_axes(mesh)
+
     def place_batch(batch):
         out = {}
         for k, v in batch.items():
             if not hasattr(v, "ndim"):  # pcd_path / obj_name string lists
                 continue
-            spec = P(*(("data",) + (None,) * (v.ndim - 1)))
+            spec = P(*((dp,) + (None,) * (v.ndim - 1)))
             out[k] = jax.device_put(jnp.asarray(v), NamedSharding(mesh, spec))
         return out
 
@@ -156,7 +167,7 @@ def sharded_sample_and_score(mesh: Mesh):
     from dexgangrasp_tpu.engine.pipeline import sample_and_score
 
     rep = NamedSharding(mesh, P())
-    axis = mesh.axis_names[0]
+    axis = dp_axes(mesh)
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def run(gen_folded, eva_folded, bps, key, n):

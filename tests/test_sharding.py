@@ -11,8 +11,13 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from dexgangrasp_tpu.engine import folding
 from dexgangrasp_tpu.engine.pipeline import sample_and_score
 from dexgangrasp_tpu.models.networks import init_dexgan, init_evaluator
-from dexgangrasp_tpu.parallel.mesh import data_parallel_mesh, make_mesh
+from dexgangrasp_tpu.parallel.mesh import (
+    data_parallel_mesh,
+    make_mesh,
+    multislice_mesh,
+)
 from dexgangrasp_tpu.parallel.sharding import (
+    dp_axes,
     evaluator_param_specs,
     gan_param_specs,
     shard_batch,
@@ -167,6 +172,60 @@ def test_sharded_inference_matches_single_device():
     np.testing.assert_allclose(np.asarray(out.transl), np.asarray(ref.transl),
                                atol=1e-5)
     # result really lives sharded across 8 devices
+    assert len(out.transl.sharding.device_set) == 8
+
+
+def test_multislice_dcn_gan_step_matches_single_device():
+    """2-slice × 4-way-dp mesh (virtual): the batch spans ('dcn','data'),
+    gradients hierarchically all-reduce, numerics must equal the unsharded
+    step — the multi-slice analogue of the dp parity test above."""
+    trainer = GanTrainer(TrainConfig())
+    ts = trainer.init_gan_state(jax.random.PRNGKey(4))
+    batch = _toy_batch(32)
+    key = jax.random.PRNGKey(11)
+
+    ts_ref, logs_ref = trainer.gan_step(
+        ts, {k: jnp.asarray(v) for k, v in batch.items()}, key)
+
+    mesh = multislice_mesh(2, [("data", 4)])
+    assert mesh.axis_names == ("dcn", "data")
+    assert dp_axes(mesh) == ("dcn", "data")
+    step = sharded_gan_step(trainer, mesh)
+    ts_sh, logs_sh = step(ts, batch, key)
+
+    np.testing.assert_allclose(float(logs_sh["total_loss_disc"]),
+                               float(logs_ref["total_loss_disc"]), rtol=1e-4)
+    np.testing.assert_allclose(float(logs_sh["total_loss_gen"]),
+                               float(logs_ref["total_loss_gen"]), rtol=1e-4)
+    # params: the hierarchical (per-slice then cross-slice) all-reduce
+    # changes gradient summation order; Adam amplifies that on near-zero
+    # grads to ~1e-4 on isolated elements (same effect as the tp test
+    # above).  A real layout bug shifts tensors *systematically* — caught
+    # by the tight mean-abs bound.
+    for a, b in zip(jax.tree.leaves(ts_ref.gen_params),
+                    jax.tree.leaves(ts_sh.gen_params)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3)
+        assert np.mean(np.abs(a - b)) < 2e-5
+    # the batch really spans all 8 devices 4-per-slice
+    sh = shard_batch(batch, mesh)["bps_object"]
+    assert len(sh.sharding.device_set) == 8
+    assert {tuple(s.data.shape) for s in sh.addressable_shards} == {(4, 4096)}
+
+
+def test_multislice_inference_spans_mesh():
+    (gen, gp, gs), _ = init_dexgan(jax.random.PRNGKey(0))
+    eva, ep, es = init_evaluator(jax.random.PRNGKey(1))
+    gen_folded = folding.fold_generator(gp, gs)
+    eva_folded = folding.fold_evaluator(ep, es)
+    bps = jnp.asarray(rng.uniform(0, 0.2, size=(4096,)).astype(np.float32))
+    mesh = multislice_mesh(2, [("data", 4)])
+    run = sharded_sample_and_score(mesh)
+    out = run(gen_folded, eva_folded, bps, jax.random.PRNGKey(3), 256)
+    ref = sample_and_score(gen_folded, eva_folded, bps,
+                           jax.random.PRNGKey(3), 256)
+    np.testing.assert_allclose(np.asarray(out.score), np.asarray(ref.score),
+                               atol=1e-5)
     assert len(out.transl.sharding.device_set) == 8
 
 
