@@ -63,39 +63,61 @@ def main():
     bps = jnp.asarray(rng.uniform(0, 0.2, 4096).astype(np.float32))
     n = N_GRASPS
 
-    @functools.partial(jax.jit, static_argnames=("iters",))
-    def pipeline_chain(key, iters):
-        gctx = folding.generator_object_context(gen_folded, bps)
-        ectx = folding.evaluator_object_context(eva_folded, bps)
+    def make_pipeline_chain(use_chain_kernel):
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def pipeline_chain(key, iters):
+            gctx = folding.generator_object_context(gen_folded, bps)
+            ectx = folding.evaluator_object_context(eva_folded, bps)
 
-        def body(i, carry):
-            key, acc = carry
-            key, k = jax.random.split(key)
-            z = jax.random.normal(k, (n, 5), jnp.float32)
-            rot6, transl, joints = folding.generator_apply_folded(
-                gen_folded, gctx, z)
-            rot = rot_matrix_from_ortho6d(rot6)
-            transl = translate_along_axis(transl, rot, 0, 0.025)
-            pose = jnp.concatenate([rot.reshape(n, 9), transl], axis=1)
-            score = folding.evaluator_apply_folded(eva_folded, ectx, pose)
-            _, order = jax.lax.approx_max_k(score, TOP_K)
-            # consume every output so nothing is dead-code-eliminated
-            acc = (acc + score[order[0]] + transl[order[0]].sum()
-                   + rot[order[0]].sum() + joints[order[0]].sum())
-            return (key, acc)
+            def body(i, carry):
+                key, acc = carry
+                key, k = jax.random.split(key)
+                z = jax.random.normal(k, (n, 5), jnp.float32)
+                if use_chain_kernel:
+                    from dexgangrasp_tpu.ops.grasp_chain import (
+                        grasp_chain_pallas,
+                    )
 
-        return jax.lax.fori_loop(0, iters, body, (key, 0.0))[1]
+                    rot, transl, joints, score = grasp_chain_pallas(
+                        gen_folded, eva_folded, gctx, ectx, z,
+                        z_offset=0.025, tile=1024)
+                else:
+                    rot6, transl, joints = folding.generator_apply_folded(
+                        gen_folded, gctx, z)
+                    rot = rot_matrix_from_ortho6d(rot6)
+                    transl = translate_along_axis(transl, rot, 0, 0.025)
+                    pose = jnp.concatenate([rot.reshape(n, 9), transl],
+                                           axis=1)
+                    score = folding.evaluator_apply_folded(eva_folded, ectx,
+                                                           pose)
+                _, order = jax.lax.approx_max_k(score, TOP_K)
+                # consume every output so nothing is dead-code-eliminated
+                acc = (acc + score[order[0]] + transl[order[0]].sum()
+                       + rot[order[0]].sum() + joints[order[0]].sum())
+                return (key, acc)
 
-    # warmup / compile (also materialize to force execution)
-    float(np.asarray(pipeline_chain(jax.random.PRNGKey(0), 2)))
+            return jax.lax.fori_loop(0, iters, body, (key, 0.0))[1]
+        return pipeline_chain
 
-    best = 0.0
-    for rep in range(3):
-        t0 = time.perf_counter()
-        acc = pipeline_chain(jax.random.PRNGKey(rep + 1), INNER_ITERS)
-        float(np.asarray(acc))  # forces real completion
-        dt = time.perf_counter() - t0
-        best = max(best, INNER_ITERS * n / dt)
+    def measure(pipeline_chain):
+        # warmup / compile (also materialize to force execution)
+        float(np.asarray(pipeline_chain(jax.random.PRNGKey(0), 2)))
+        best = 0.0
+        for rep in range(3):
+            t0 = time.perf_counter()
+            acc = pipeline_chain(jax.random.PRNGKey(rep + 1), INNER_ITERS)
+            float(np.asarray(acc))  # forces real completion
+            dt = time.perf_counter() - t0
+            best = max(best, INNER_ITERS * n / dt)
+        return best
+
+    import jax as _jax
+    on_tpu0 = _jax.devices()[0].platform == "tpu"
+    best_xla = measure(make_pipeline_chain(False))
+    # the fused per-grasp-chain Pallas mega-kernel (ops/grasp_chain.py) is
+    # the serving path on TPU; report both and headline the better one
+    best_chain = measure(make_pipeline_chain(True)) if on_tpu0 else 0.0
+    best = max(best_xla, best_chain)
 
     # ---------------------------------------------- cold-object serving
     from dexgangrasp_tpu.engine.pipeline import object_to_grasps
@@ -145,8 +167,28 @@ def main():
         float(np.asarray(fn(arg)))
         return (time.perf_counter() - t0) * 1000.0 / COLD_OBJECTS
 
-    extras = {}
+    extras = {"grasps_per_sec_xla": round(best_xla, 1)}
     on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        extras["grasps_per_sec_chain_kernel"] = round(best_chain, 1)
+        # on-hardware numerics of the mega-kernel vs the XLA layer graph
+        from dexgangrasp_tpu.ops.grasp_chain import grasp_chain_pallas
+
+        gctx = folding.generator_object_context(gen_folded, bps)
+        ectx = folding.evaluator_object_context(eva_folded, bps)
+        zc = jax.random.normal(jax.random.PRNGKey(5), (n, 5), jnp.float32)
+        rot6, transl, joints = folding.generator_apply_folded(
+            gen_folded, gctx, zc)
+        rot = rot_matrix_from_ortho6d(rot6)
+        transl = translate_along_axis(transl, rot, 0, 0.025)
+        pose = jnp.concatenate([rot.reshape(n, 9), transl], axis=1)
+        score = folding.evaluator_apply_folded(eva_folded, ectx, pose)
+        _, tc, _, sc = grasp_chain_pallas(gen_folded, eva_folded, gctx,
+                                          ectx, zc, z_offset=0.025,
+                                          tile=1024)
+        extras["chain_kernel_max_abs_diff"] = float(
+            max(np.max(np.abs(np.asarray(sc) - np.asarray(score))),
+                np.max(np.abs(np.asarray(tc) - np.asarray(transl)))))
     extras["cold_object_ms"] = round(
         timed(cold_chain_fn(False), jax.random.PRNGKey(11)), 3)
     extras["bps_encode_ms"] = round(timed(encode_chain_fn(bps_encode_xla),

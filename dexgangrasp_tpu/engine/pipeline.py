@@ -32,12 +32,14 @@ from dexgangrasp_tpu.ops.bps import BPSEncoder
 DEFAULT_Z_OFFSET = 0.025  # m; reference generate_grasps default (networks.py:257)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "sample_uniform", "sort"))
+@functools.partial(jax.jit, static_argnames=("n", "sample_uniform", "sort",
+                                             "use_chain_kernel"))
 def sample_and_score(gen_folded: dict, eva_folded: dict, bps: jax.Array,
                      key: jax.Array, n: int,
                      z_offset: float = DEFAULT_Z_OFFSET,
                      sample_uniform: bool = False,
-                     sort: bool = True) -> Grasps:
+                     sort: bool = True,
+                     use_chain_kernel: bool = False) -> Grasps:
     """The fused program: one object BPS row → n scored, sorted grasps.
 
     Args:
@@ -49,6 +51,10 @@ def sample_and_score(gen_folded: dict, eva_folded: dict, bps: jax.Array,
         networks.py:254: ``translate_along_axis(results, 0, z_offset)``).
       sample_uniform: z ~ U(-4, 4) instead of N(0, I) (networks.py:241-243).
       sort: return grasps sorted by evaluator score descending.
+      use_chain_kernel: run the whole per-grasp chain (generator → rot6d →
+        back-off → evaluator) as ONE Pallas kernel with every intermediate
+        in VMEM (ops/grasp_chain.py) instead of the XLA layer graph.
+        Bit-near identical results; faster in the bandwidth-bound regime.
 
     Returns a ``Grasps`` batch with ``score`` filled.
     """
@@ -61,13 +67,22 @@ def sample_and_score(gen_folded: dict, eva_folded: dict, bps: jax.Array,
     gen_ctx = folding.generator_object_context(gen_folded, bps)
     eva_ctx = folding.evaluator_object_context(eva_folded, bps)
 
-    rot6, transl, joints = folding.generator_apply_folded(gen_folded, gen_ctx, z)
-    rot = rot_matrix_from_ortho6d(rot6)
-    transl = translate_along_axis(transl, rot, 0, z_offset)
+    if use_chain_kernel:
+        from dexgangrasp_tpu.ops.grasp_chain import grasp_chain_pallas
 
-    # row-major flatten matches the reference's rot_matrix.view(N, -1)
-    pose = jnp.concatenate([rot.reshape(n, 9), transl], axis=1)
-    score = folding.evaluator_apply_folded(eva_folded, eva_ctx, pose)
+        n_joints = gen_folded["joint_conf"]["w"].shape[1]
+        rot, transl, joints, score = grasp_chain_pallas(
+            gen_folded, eva_folded, gen_ctx, eva_ctx, z, z_offset=z_offset,
+            n_joints=n_joints)
+    else:
+        rot6, transl, joints = folding.generator_apply_folded(
+            gen_folded, gen_ctx, z)
+        rot = rot_matrix_from_ortho6d(rot6)
+        transl = translate_along_axis(transl, rot, 0, z_offset)
+
+        # row-major flatten matches the reference's rot_matrix.view(N, -1)
+        pose = jnp.concatenate([rot.reshape(n, 9), transl], axis=1)
+        score = folding.evaluator_apply_folded(eva_folded, eva_ctx, pose)
 
     g = Grasps(transl=transl, rot_matrix=rot, joint_conf=joints,
                score=score, z=z)
@@ -78,12 +93,14 @@ def sample_and_score(gen_folded: dict, eva_folded: dict, bps: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("n", "top_k", "exact",
-                                             "sample_uniform"))
+                                             "sample_uniform",
+                                             "use_chain_kernel"))
 def sample_and_topk(gen_folded: dict, eva_folded: dict, bps: jax.Array,
                     key: jax.Array, n: int, top_k: int,
                     z_offset: float = DEFAULT_Z_OFFSET,
                     exact: bool = False,
-                    sample_uniform: bool = False) -> Grasps:
+                    sample_uniform: bool = False,
+                    use_chain_kernel: bool = False) -> Grasps:
     """Serving variant: sample+score n grasps, return only the best
     ``top_k`` (sorted desc).
 
@@ -96,7 +113,7 @@ def sample_and_topk(gen_folded: dict, eva_folded: dict, bps: jax.Array,
     """
     g = sample_and_score(gen_folded, eva_folded, bps, key, n,
                          z_offset=z_offset, sample_uniform=sample_uniform,
-                         sort=False)
+                         sort=False, use_chain_kernel=use_chain_kernel)
     if exact:
         _, order = jax.lax.top_k(g.score, top_k)
     else:

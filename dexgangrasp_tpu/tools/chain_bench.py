@@ -1,0 +1,118 @@
+"""On-chip A/B of the per-grasp chain: XLA layer graph vs the fused
+Pallas mega-kernel (ops/grasp_chain.py).
+
+Methodology per CLAUDE.md: K iterations inside one jitted fori_loop with a
+data dependency threaded through, materialized via np.asarray — async
+dispatch through the axon relay cannot fake completion.  Also checks
+on-hardware numerics (same latents through both paths).
+
+Usage:
+    python -m dexgangrasp_tpu.tools.chain_bench [--n 16384] [--iters 50]
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import numpy as np
+
+
+def run(n: int = 16384, iters: int = 50, top_k: int = 1024,
+        tiles=(256, 512, 1024), out_path: str = "runs/chain_bench.json"):
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/dexgg_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    from dexgangrasp_tpu.core.rotations import rot_matrix_from_ortho6d
+    from dexgangrasp_tpu.core.transforms import translate_along_axis
+    from dexgangrasp_tpu.engine import folding
+    from dexgangrasp_tpu.models.networks import init_dexgan, init_evaluator
+    from dexgangrasp_tpu.ops.grasp_chain import grasp_chain_pallas
+
+    (_, gp, gs), _ = init_dexgan(jax.random.PRNGKey(0))
+    _, ep, es = init_evaluator(jax.random.PRNGKey(1))
+    gen_folded = folding.fold_generator(gp, gs)
+    eva_folded = folding.fold_evaluator(ep, es)
+    rng = np.random.default_rng(0)
+    bps = jnp.asarray(rng.uniform(0, 0.2, 4096).astype(np.float32))
+    gctx = folding.generator_object_context(gen_folded, bps)
+    ectx = folding.evaluator_object_context(eva_folded, bps)
+
+    def xla_body(z):
+        rot6, transl, joints = folding.generator_apply_folded(
+            gen_folded, gctx, z)
+        rot = rot_matrix_from_ortho6d(rot6)
+        transl = translate_along_axis(transl, rot, 0, 0.025)
+        pose = jnp.concatenate([rot.reshape(n, 9), transl], axis=1)
+        score = folding.evaluator_apply_folded(eva_folded, ectx, pose)
+        return rot, transl, joints, score
+
+    def chain_fn(body):
+        @functools.partial(jax.jit, static_argnames=("k_iters",))
+        def chain(key, k_iters):
+            def step(i, carry):
+                key, acc = carry
+                key, k = jax.random.split(key)
+                z = jax.random.normal(k, (n, 5), jnp.float32)
+                rot, transl, joints, score = body(z)
+                _, order = jax.lax.approx_max_k(score, top_k)
+                acc = (acc + score[order[0]] + transl[order[0]].sum()
+                       + rot[order[0]].sum() + joints[order[0]].sum())
+                return (key, acc)
+            return jax.lax.fori_loop(0, k_iters, step, (key, 0.0))[1]
+        return chain
+
+    def timed(chain):
+        float(np.asarray(chain(jax.random.PRNGKey(0), 2)))  # compile+warm
+        best = 0.0
+        for rep in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(chain(jax.random.PRNGKey(rep + 1), iters)))
+            dt = time.perf_counter() - t0
+            best = max(best, iters * n / dt)
+        return best
+
+    report = {"n": n, "iters": iters,
+              "device": str(jax.devices()[0].device_kind)}
+    report["xla_grasps_per_sec"] = round(timed(chain_fn(xla_body)), 1)
+    for t in tiles:
+        body = lambda z, _t=t: grasp_chain_pallas(
+            gen_folded, eva_folded, gctx, ectx, z, z_offset=0.025, tile=_t)
+        report[f"pallas_t{t}_grasps_per_sec"] = round(timed(chain_fn(body)),
+                                                      1)
+        print(json.dumps(report), flush=True)
+
+    # on-hardware numerics: same latents through both paths
+    z = jax.random.normal(jax.random.PRNGKey(5), (n, 5), jnp.float32)
+    ref = xla_body(z)
+    out = grasp_chain_pallas(gen_folded, eva_folded, gctx, ectx, z,
+                             z_offset=0.025, tile=tiles[0])
+    report["max_abs_diff"] = {
+        k: float(jnp.max(jnp.abs(a - b)))
+        for k, a, b in zip(("rot", "transl", "joints", "score"), out, ref)}
+    print(json.dumps(report))
+    import os
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    return report
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=16384)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--out", default="runs/chain_bench.json")
+    args = ap.parse_args()
+    run(n=args.n, iters=args.iters, out_path=args.out)
+
+
+if __name__ == "__main__":
+    main()
