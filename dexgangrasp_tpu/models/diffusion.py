@@ -115,18 +115,30 @@ class DexDiffuser:
     # ----------------------------------------------------------- training
 
     def loss(self, params: dict, key: jax.Array, bps: jax.Array,
-             g0: jax.Array) -> jax.Array:
+             g0: jax.Array, compute_dtype=None) -> jax.Array:
         """ε-prediction MSE on one batch: (B, 4096) bps, (B, g_dim) clean
-        grasps (normalized — see GraspNormalizer)."""
+        grasps (normalized — see GraspNormalizer).
+
+        ``compute_dtype=jnp.bfloat16`` runs the denoiser forward (and hence
+        the backward matmuls) in bf16 — the mixed-precision mode: the
+        noising process, the residual, and the MSE reduction stay f32, and
+        the caller keeps f32 master params (the cast is inside the loss so
+        gradients flow back to f32 leaves).  Halves HBM traffic per step on
+        TPU; quality study in docs/RESULTS.md."""
         kt, kn = jax.random.split(key)
         n = g0.shape[0]
         t = jax.random.uniform(kt, (n,))
         ab = cosine_alpha_bar(t)[:, None]
         noise = jax.random.normal(kn, g0.shape, g0.dtype)
         g_t = jnp.sqrt(ab) * g0 + jnp.sqrt(1 - ab) * noise
+        if compute_dtype is not None and compute_dtype != g0.dtype:
+            cast = lambda tree: jax.tree.map(
+                lambda a: a.astype(compute_dtype), tree)
+            params, bps, g_t, t = (cast(params), cast(bps), cast(g_t),
+                                   cast(t))
         cond = self.embed_object(params, bps)
         pred = self.eps(params, cond, g_t, t)
-        return jnp.mean((pred - noise) ** 2)
+        return jnp.mean((pred.astype(noise.dtype) - noise) ** 2)
 
     # ----------------------------------------------------------- sampling
 

@@ -115,6 +115,20 @@ def run_train_bench(data_dir: str, steps: int = 300, out_path=None) -> dict:
           lambda *a: diffusion_train_chunk(dtr, dts, diff_dev, key, steps,
                                            256), 0)
 
+    # mixed precision: bf16 denoiser fwd/bwd, f32 masters (ROADMAP r2-4)
+    dtr16 = DiffusionTrainer(DexDiffuser(), lr=3e-4,
+                             normalizer=dtr.normalizer,
+                             compute_dtype=jnp.bfloat16)
+    timed("diffusion_bf16_bs256_steps_per_sec",
+          lambda *a: diffusion_train_chunk(dtr16, dts, diff_dev, key, steps,
+                                           256), 0)
+    timed("diffusion_bs2048_steps_per_sec",
+          lambda *a: diffusion_train_chunk(dtr, dts, diff_dev, key, steps,
+                                           2048), 0)
+    timed("diffusion_bf16_bs2048_steps_per_sec",
+          lambda *a: diffusion_train_chunk(dtr16, dts, diff_dev, key, steps,
+                                           2048), 0)
+
     # host share for a nominal 100k-step run: tables built once, device
     # does everything else (contrast: the reference pays per-sample h5
     # reopens inside the hot loop, train.py:194)

@@ -27,10 +27,14 @@ class DiffusionTrainState:
 
 class DiffusionTrainer:
     def __init__(self, model: DexDiffuser = DexDiffuser(), lr: float = 3e-4,
-                 normalizer: GraspNormalizer = None):
+                 normalizer: GraspNormalizer = None, compute_dtype=None):
+        """``compute_dtype=jnp.bfloat16`` = mixed precision: f32 master
+        params + Adam state, bf16 denoiser fwd/bwd (models/diffusion.py
+        loss)."""
         self.model = model
         self.tx = optax.adam(lr)
         self.normalizer = normalizer
+        self.compute_dtype = compute_dtype
 
     def init_state(self, key: jax.Array) -> DiffusionTrainState:
         params = self.model.init(key)
@@ -57,8 +61,10 @@ class DiffusionTrainer:
                         g0: jax.Array, key: jax.Array
                         ) -> Tuple[DiffusionTrainState, jax.Array]:
         """Un-jitted step body (scanned by train/fast.py)."""
-        loss, grads = jax.value_and_grad(self.model.loss)(ts.params, key,
-                                                          bps, g0)
+        loss, grads = jax.value_and_grad(
+            lambda p: self.model.loss(p, key, bps, g0,
+                                      compute_dtype=self.compute_dtype)
+        )(ts.params)
         updates, opt = self.tx.update(grads, ts.opt, ts.params)
         params = optax.apply_updates(ts.params, updates)
         return DiffusionTrainState(params=params, opt=opt,

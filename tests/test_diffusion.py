@@ -72,6 +72,32 @@ def test_training_descends_and_sampling_recovers_mode():
     assert np.median(err) < prior_dist * 0.45
 
 
+def test_bf16_mixed_precision_training():
+    """compute_dtype=bfloat16: master params/updates stay f32, the loss
+    still descends, and the loss value tracks the f32 loss closely."""
+    model = DexDiffuser(n_blocks=2, hidden=128, cond_dim=64)
+    tr16 = DiffusionTrainer(model, lr=2e-3, compute_dtype=jnp.bfloat16)
+    ts = tr16.init_state(jax.random.PRNGKey(0))
+    bps = jnp.asarray(rng.uniform(0, 0.2, (32, 4096)).astype(np.float32))
+    mode = jnp.asarray(rng.normal(size=(21,)).astype(np.float32))
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for i in range(150):
+        key, k1, k2 = jax.random.split(key, 3)
+        g0 = mode + 0.05 * jax.random.normal(k1, (32, 21))
+        ts, loss = tr16.train_step(ts, bps, g0, k2)
+        losses.append(float(loss))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.8
+    assert all(a.dtype == jnp.float32 for a in jax.tree.leaves(ts.params))
+    # bf16 and f32 loss agree at the same params/key (forward-precision gap)
+    l32 = float(model.loss(ts.params, jax.random.PRNGKey(9), bps,
+                           mode + jnp.zeros((32, 21))))
+    l16 = float(model.loss(ts.params, jax.random.PRNGKey(9), bps,
+                           mode + jnp.zeros((32, 21)),
+                           compute_dtype=jnp.bfloat16))
+    assert abs(l16 - l32) < 0.05 * max(l32, 0.1)
+
+
 def test_grasp_vector_roundtrip_and_normalizer():
     rot6 = jnp.asarray(rng.normal(size=(16, 6)).astype(np.float32))
     transl = jnp.asarray(rng.normal(size=(16, 3)).astype(np.float32))
