@@ -103,16 +103,20 @@ import math
 import numpy as np
 
 
-def load_engine(gen_path, eva_path, basis_path=None, model: str = "gan"):
+def load_engine(gen_path, eva_path, basis_path=None, model: str = "gan",
+                guidance_scale: float = 0.0):
     """Thin wrapper over the engine loaders (kept as the CLI's loading
     seam; apps import it by this name).  ``model``: 'gan'/'vae' checkpoints
     serve through GraspEngine (the VAE decoder is generator-shaped);
-    'diffusion' through DiffusionEngine (same serving surface)."""
+    'diffusion' through DiffusionEngine (same serving surface).
+    ``guidance_scale`` > 0 (diffusion only) turns on evaluator-guided DDIM
+    (engine/diffusion_pipeline.sample_guided)."""
     if model == "diffusion":
         from dexgangrasp_tpu.engine.diffusion_pipeline import DiffusionEngine
 
         return DiffusionEngine.from_checkpoints(gen_path, eva_path,
-                                                basis_path)
+                                                basis_path,
+                                                guidance_scale=guidance_scale)
     from dexgangrasp_tpu.engine.pipeline import GraspEngine
 
     return GraspEngine.from_checkpoints(gen_path, eva_path, basis_path)
@@ -147,6 +151,9 @@ def eval_main():
                     help="generator family of --gen (vae decoders serve "
                          "through the standard engine)")
     ap.add_argument("--z-offset", type=float, default=0.025)
+    ap.add_argument("--guidance-scale", type=float, default=0.0,
+                    help="diffusion only: evaluator-guided DDIM strength "
+                         "(0 = off)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sweep-dir", default=None,
                     help="run-dir of checkpoints: evaluate every saved epoch "
@@ -232,7 +239,8 @@ def _run_single(args):
     if basis and not os.path.isfile(basis):
         basis = None
     engine = load_engine(args.gen, args.eva, basis,
-                         model=getattr(args, "model", "gan"))
+                         model=getattr(args, "model", "gan"),
+                         guidance_scale=getattr(args, "guidance_scale", 0.0))
 
     sums = magd_protocol(engine, data_dir, is_filter=args.is_filter,
                          use_discriminator=args.discriminator,

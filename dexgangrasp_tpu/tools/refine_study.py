@@ -35,8 +35,8 @@ def _oracle_rate(full_cloud, transl, rot):
 
 def run_refine_study(data_dir: str, gen_ckpt, eva_ckpt, model: str = "gan",
                      n_samples: int = 200, refine_steps: int = 10,
-                     out_dir: str = "runs/refine_study", seed: int = 0
-                     ) -> dict:
+                     out_dir: str = "runs/refine_study", seed: int = 0,
+                     guidance_scale: float = 0.0) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -59,7 +59,9 @@ def run_refine_study(data_dir: str, gen_ckpt, eva_ckpt, model: str = "gan",
     agg = {k: [] for k in ("raw_oracle", "raw_score",
                            "filtered_oracle", "filtered_score",
                            "grad_oracle", "grad_score",
-                           "samp_oracle", "samp_score", "filter_pass")}
+                           "samp_oracle", "samp_score", "filter_pass",
+                           "guided_oracle", "guided_score")}
+    use_guidance = guidance_scale and model == "diffusion"
     skipped = 0
     for bps_path in unique_bps:
         stem = os.path.split(bps_path)[1].replace("bps", "pcd")
@@ -75,6 +77,13 @@ def run_refine_study(data_dir: str, gen_ckpt, eva_ckpt, model: str = "gan",
         agg["raw_oracle"].append(_oracle_rate(full_cloud, g["transl"],
                                               g["rot_matrix"]))
         agg["raw_score"].append(float(np.mean(g["score"])))
+
+        if use_guidance:
+            gg = engine.generate_grasps(bps, n_samples=n_samples, seed=seed,
+                                        guidance_scale=guidance_scale)
+            agg["guided_oracle"].append(
+                _oracle_rate(full_cloud, gg["transl"], gg["rot_matrix"]))
+            agg["guided_score"].append(float(np.mean(gg["score"])))
 
         try:
             f, _ = run_filter(engine, bps, g, n_samples,
@@ -108,7 +117,8 @@ def run_refine_study(data_dir: str, gen_ckpt, eva_ckpt, model: str = "gan",
     report = {k: float(np.mean(v)) if v else None for k, v in agg.items()}
     report.update(n_views=len(unique_bps) - skipped, skipped=skipped,
                   n_samples=n_samples, refine_steps=refine_steps,
-                  model=model, gen=gen_ckpt, eva=eva_ckpt)
+                  model=model, gen=gen_ckpt, eva=eva_ckpt,
+                  guidance_scale=guidance_scale)
     with open(os.path.join(out_dir, "report.json"), "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report, indent=1))
@@ -124,11 +134,14 @@ def main():
                     choices=["gan", "vae", "diffusion"])
     ap.add_argument("--n-samples", type=int, default=200)
     ap.add_argument("--refine-steps", type=int, default=10)
+    ap.add_argument("--guidance-scale", type=float, default=0.0,
+                    help="diffusion-only: evaluator-guided DDIM study")
     ap.add_argument("--out", default="runs/refine_study")
     args = ap.parse_args()
     run_refine_study(args.data_dir, args.gen, args.eva, model=args.model,
                      n_samples=args.n_samples,
-                     refine_steps=args.refine_steps, out_dir=args.out)
+                     refine_steps=args.refine_steps, out_dir=args.out,
+                     guidance_scale=args.guidance_scale)
 
 
 if __name__ == "__main__":
