@@ -64,6 +64,15 @@ def main():
     PAD_N = 8192
     basis = jnp.asarray(load_basis())
 
+    # the fused per-grasp-chain Pallas kernel runs the generator→evaluator
+    # tail in VMEM (ops/grasp_chain.py) — TPU only.  DEXGG_NO_CHAIN=1
+    # A/Bs the XLA tail (measured tie: the frame program is dominated by
+    # segmentation + BPS encode, not the 10k-grasp MLP tail).
+    import os as _os
+
+    use_chain = (jax.devices()[0].platform == "tpu"
+                 and _os.environ.get("DEXGG_NO_CHAIN") != "1")
+
     def one_frame(seed):
         with timer.stage("roi+voxel (host)"):
             pts = frame[roi]
@@ -76,7 +85,8 @@ def main():
             g, center, n_obj = frame_to_grasps(
                 engine.gen_folded, engine.eva_folded, basis,
                 jnp.asarray(padded), jnp.asarray(n_valid),
-                jax.random.PRNGKey(seed), n_samples=n_samples, top_k=top_k)
+                jax.random.PRNGKey(seed), n_samples=n_samples, top_k=top_k,
+                use_chain_kernel=use_chain)
             # materialize top-k to count true completion
             _ = np.asarray(g.score), np.asarray(g.transl)
         return g
@@ -92,7 +102,8 @@ def main():
     print(timer.report())
     print(json.dumps({"metric": "closed_loop_fps", "value": round(1 / dt, 2),
                       "unit": "frames/s", "vs_baseline": round(1 / dt / 15, 3),
-                      "native_host_ops": use_native}))
+                      "native_host_ops": use_native,
+                      "chain_kernel": use_chain}))
 
 
 if __name__ == "__main__":

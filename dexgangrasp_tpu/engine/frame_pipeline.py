@@ -43,7 +43,8 @@ def compact_masked_points(points: jax.Array, mask: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=("n_samples", "top_k",
                                              "ransac_iters", "knn_k",
-                                             "outlier_method", "use_pallas"))
+                                             "outlier_method", "use_pallas",
+                                             "use_chain_kernel"))
 def frame_to_grasps(gen_folded: dict, eva_folded: dict, basis: jax.Array,
                     points: jax.Array, n_valid: jax.Array, key: jax.Array,
                     n_samples: int = 10000, top_k: int = 10,
@@ -53,7 +54,8 @@ def frame_to_grasps(gen_folded: dict, eva_folded: dict, basis: jax.Array,
                     outlier_method: str = "radius",
                     outlier_radius: float = 0.012,
                     outlier_min_neighbors: int = 6,
-                    use_pallas: bool = None
+                    use_pallas: bool = None,
+                    use_chain_kernel: bool = False
                     ) -> Tuple[Grasps, jax.Array, jax.Array]:
     """padded (N, 3) cloud + n_valid → (top-k Grasps in the *centroid*
     frame, pc_center (3,), n_object_points).
@@ -87,11 +89,19 @@ def frame_to_grasps(gen_folded: dict, eva_folded: dict, basis: jax.Array,
                           points.dtype)
     gctx = folding.generator_object_context(gen_folded, bps)
     ectx = folding.evaluator_object_context(eva_folded, bps)
-    rot6, transl, joints = folding.generator_apply_folded(gen_folded, gctx, z)
-    rot = rot_matrix_from_ortho6d(rot6)
-    transl = translate_along_axis(transl, rot, 0, z_offset)
-    pose = jnp.concatenate([rot.reshape(n_samples, 9), transl], axis=1)
-    score = folding.evaluator_apply_folded(eva_folded, ectx, pose)
+    if use_chain_kernel:
+        from dexgangrasp_tpu.ops.grasp_chain import grasp_chain_pallas
+
+        rot, transl, joints, score = grasp_chain_pallas(
+            gen_folded, eva_folded, gctx, ectx, z, z_offset=z_offset,
+            n_joints=gen_folded["joint_conf"]["w"].shape[1], tile=1024)
+    else:
+        rot6, transl, joints = folding.generator_apply_folded(
+            gen_folded, gctx, z)
+        rot = rot_matrix_from_ortho6d(rot6)
+        transl = translate_along_axis(transl, rot, 0, z_offset)
+        pose = jnp.concatenate([rot.reshape(n_samples, 9), transl], axis=1)
+        score = folding.evaluator_apply_folded(eva_folded, ectx, pose)
     _, order = jax.lax.approx_max_k(score, top_k)
     g = Grasps(transl=transl, rot_matrix=rot, joint_conf=joints,
                score=score, z=z).take(order)

@@ -171,6 +171,9 @@ def grasp_chain_pallas(gen_folded: dict, eva_folded: dict, gen_ctx: dict,
     """z (N, L) latents → (rot (N,3,3), transl (N,3), joints (N,J),
     score (N,)) via the single fused kernel.  ``z_offset`` may be traced."""
     n = z.shape[0]
+    # Mosaic is TPU-only; off-TPU (CPU test meshes) fall back to the
+    # interpreter so the flag is usable everywhere
+    interpret = interpret or jax.default_backend() != "tpu"
     inputs, n_eva_rb = pack_inputs(gen_folded, eva_folded, gen_ctx, eva_ctx)
     t = min(tile, _round_up(n, 8))
     n_pad = _round_up(n, t)

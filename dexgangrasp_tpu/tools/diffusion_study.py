@@ -22,7 +22,7 @@ def run_diffusion_study(data_dir: str, steps: int = 30000,
                         batch_size: int = 256,
                         out_dir: str = "runs/diffusion_study",
                         eva_ckpt=None, seed: int = 0,
-                        ddim_steps: int = 50) -> dict:
+                        ddim_steps: int = 50, bf16: bool = False) -> dict:
     import numpy as np
 
     import jax
@@ -59,7 +59,9 @@ def run_diffusion_study(data_dir: str, steps: int = 30000,
         ortho6d_from_rot_matrix(jnp.asarray(raw["rot9"].reshape(-1, 3, 3))),
         jnp.asarray(raw["transl"]), jnp.asarray(raw["joint_conf"]))
     normalizer = GraspNormalizer.fit(g_all)
-    trainer = DiffusionTrainer(DexDiffuser(), lr=3e-4, normalizer=normalizer)
+    trainer = DiffusionTrainer(
+        DexDiffuser(), lr=3e-4, normalizer=normalizer,
+        compute_dtype=jnp.bfloat16 if bf16 else None)
     table = build_diffusion_table(None, trainer, table=raw)
     dev = put_table(table)
     print(f"table: {table['bps_idx'].shape[0]} rows")
@@ -86,7 +88,7 @@ def run_diffusion_study(data_dir: str, steps: int = 30000,
                       {"epoch": steps, "family": "diffusion"})
     report = {"steps": steps, "eps_mse": loss, "train_seconds": dt,
               "steps_per_sec": steps / dt, "checkpoint": path,
-              "ddim_steps": ddim_steps}
+              "ddim_steps": ddim_steps, "bf16": bf16}
     print(f"{steps} steps in {dt:.0f}s ({steps/dt:.0f}/s) -> {path}")
 
     # MAGD + filter study with the trained evaluator
@@ -124,10 +126,12 @@ def main():
     ap.add_argument("--out", default="runs/diffusion_study")
     ap.add_argument("--eva", default=None)
     ap.add_argument("--ddim-steps", type=int, default=50)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 mixed-precision training (f32 masters)")
     args = ap.parse_args()
     run_diffusion_study(args.data_dir, args.steps, args.batch_size,
                         args.out, eva_ckpt=args.eva,
-                        ddim_steps=args.ddim_steps)
+                        ddim_steps=args.ddim_steps, bf16=args.bf16)
 
 
 if __name__ == "__main__":

@@ -85,6 +85,13 @@ def run_train_bench(data_dir: str, steps: int = 300, out_path=None) -> dict:
     timed("gan_l2_bs1000_steps_per_sec",
           lambda *a: gan_train_chunk(tr, ts, gen_dev, key, steps, 1000), 0)
 
+    # bf16 mixed precision on the same flagship config
+    tr16 = GanTrainer(TrainConfig(compute_dtype="bfloat16"))
+    ts16 = tr16.init_gan_state(jax.random.PRNGKey(0))
+    timed("gan_l2_bf16_bs1000_steps_per_sec",
+          lambda *a: gan_train_chunk(tr16, ts16, gen_dev, key, steps, 1000),
+          0)
+
     # chamfer control-point recon (BASELINE config #3)
     trc = GanTrainer(TrainConfig(recon_loss="control_point_chamfer"))
     tsc = trc.init_gan_state(jax.random.PRNGKey(0))

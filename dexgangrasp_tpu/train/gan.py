@@ -96,6 +96,11 @@ class TrainConfig:
     # loss.  0.0 (default) = reference-faithful objective, extra forward
     # skipped entirely.
     ms_coef: float = 0.0
+    # 'bfloat16' = mixed precision: f32 master params + Adam state, bf16
+    # network fwd/bwd (the cast lives inside the loss fns so grads flow to
+    # f32 leaves); BN running stats stay f32 (the EMA update promotes).
+    # Losses/reductions are f32.  Default 'float32' keeps torch parity.
+    compute_dtype: str = "float32"
 
 
 def make_optimizer(lr: float, beta1: float, weight_decay: float
@@ -302,9 +307,20 @@ class GanTrainer:
         else:
             z = jax.random.normal(kz, (n, cfg.latent_dim), jnp.float32)
 
+        # mixed precision: network fwd/bwd in bf16 via casts inside the
+        # loss fns (f32 masters; BN state EMA promotes back to f32);
+        # rotations/losses/reductions stay f32
+        cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        _c = ((lambda t: jax.tree.map(lambda a: a.astype(cdt), t))
+              if cdt else (lambda t: t))
+        _f = ((lambda t: jax.tree.map(lambda a: a.astype(jnp.float32), t))
+              if cdt else (lambda t: t))
+
         # 1. generator forward (train-mode BN), detached for the D phase
         y_fake, gen_state_after = self.gen.apply(
-            ts.gen_params, ts.gen_state, z, bps, train=True)
+            _c(ts.gen_params), ts.gen_state, _c(z), _c(bps), train=True)
+        y_fake = _f(y_fake)
+        gen_state_after = _f(gen_state_after)
         fake_rot_flat = jax.lax.stop_gradient(
             rot_matrix_from_ortho6d(y_fake.rot_6d).reshape(n, 9))
         fake_transl = jax.lax.stop_gradient(y_fake.transl)
@@ -317,19 +333,22 @@ class GanTrainer:
         ret_logits = not cfg.is_wgan
 
         def disc_loss_fn(disc_params):
+            dp = _c(disc_params)
             real_score, ds1 = self.disc.apply(
-                disc_params, ts.disc_state, bps, real_rot_flat, real_transl,
-                real_joints, train=True, return_logits=ret_logits)
+                dp, ts.disc_state, _c(bps), _c(real_rot_flat),
+                _c(real_transl), _c(real_joints), train=True,
+                return_logits=ret_logits)
             fake_score, ds2 = self.disc.apply(
-                disc_params, ds1, bps, fake_rot_flat, fake_transl,
-                fake_joints, train=True, return_logits=ret_logits)
+                dp, ds1, _c(bps), _c(fake_rot_flat), _c(fake_transl),
+                _c(fake_joints), train=True, return_logits=ret_logits)
             gp = (self._gradient_penalty(
-                disc_params, ts.disc_state, kgp, bps,
+                dp, ts.disc_state, kgp, bps,
                 real_rot_flat, real_transl, real_joints,
                 fake_rot_flat, fake_transl, fake_joints)
                 if cfg.is_wgan else 0.0)
-            total, logs = self._disc_losses(real_score, fake_score, gp)
-            return total, (ds2, logs)
+            total, logs = self._disc_losses(_f(real_score), _f(fake_score),
+                                            gp)
+            return total, (_f(ds2), logs)
 
         (disc_grads, (disc_state_after, disc_logs)) = jax.grad(
             disc_loss_fn, has_aux=True)(ts.disc_params)
@@ -340,13 +359,15 @@ class GanTrainer:
         # 4. generator update (every gen_train_freq steps — host decides)
         if is_train_gen:
             def gen_loss_fn(gen_params):
-                yf, gs = self.gen.apply(gen_params, ts.gen_state, z, bps,
-                                        train=True)
+                yf, gs = self.gen.apply(_c(gen_params), ts.gen_state, _c(z),
+                                        _c(bps), train=True)
+                yf, gs = _f(yf), _f(gs)
                 rot_mat_flat = rot_matrix_from_ortho6d(yf.rot_6d).reshape(n, 9)
                 fake_score, ds3 = self.disc.apply(
-                    disc_params, disc_state_after, bps, rot_mat_flat,
-                    yf.transl, yf.joint_conf, train=True,
-                    return_logits=not cfg.is_wgan)
+                    _c(disc_params), disc_state_after, _c(bps),
+                    _c(rot_mat_flat), _c(yf.transl), _c(yf.joint_conf),
+                    train=True, return_logits=not cfg.is_wgan)
+                fake_score, ds3 = _f(fake_score), _f(ds3)
                 if cfg.is_wgan:
                     adv = -jnp.mean(fake_score)
                 else:
@@ -369,8 +390,9 @@ class GanTrainer:
                     z2 = jax.random.normal(
                         jax.random.fold_in(key, 0x6d73),  # 'ms'
                         z.shape, jnp.float32)
-                    yf2, _ = self.gen.apply(gen_params, ts.gen_state, z2,
-                                            bps, train=True)
+                    yf2, _ = self.gen.apply(_c(gen_params), ts.gen_state,
+                                            _c(z2), _c(bps), train=True)
+                    yf2 = _f(yf2)
                     g1 = jnp.concatenate(
                         [yf.rot_6d, yf.transl, yf.joint_conf], axis=-1)
                     g2 = jnp.concatenate(

@@ -128,19 +128,20 @@ def _tiny_guidance_setup():
     from dexgangrasp_tpu.engine import folding
     from dexgangrasp_tpu.train.gan import GanTrainer, TrainConfig
 
+    lrng = np.random.default_rng(2121)  # local: order-independent setup
     model = DexDiffuser(n_blocks=2, hidden=128, cond_dim=64)
     params = model.init(jax.random.PRNGKey(7))
-    bps = jnp.asarray(rng.uniform(0, 0.2, 4096).astype(np.float32))
+    bps = jnp.asarray(lrng.uniform(0, 0.2, 4096).astype(np.float32))
     trainer = GanTrainer(TrainConfig(lr=1e-3))
     ts = trainer.init_evaluator_state(jax.random.PRNGKey(8))
-    transl = rng.normal(size=(64, 3)).astype(np.float32)
+    transl = lrng.normal(size=(64, 3)).astype(np.float32)
     batch = {
         "bps_object": jnp.broadcast_to(bps, (64, 4096)),
         "rot_matrix": jnp.asarray(
-            Rotation.random(64, rng=rng).as_matrix().astype(np.float32)),
+            Rotation.random(64, rng=lrng).as_matrix().astype(np.float32)),
         "transl": jnp.asarray(transl),
         "joint_conf": jnp.asarray(
-            rng.uniform(0, 1, size=(64, 12)).astype(np.float32)),
+            lrng.uniform(0, 1, size=(64, 12)).astype(np.float32)),
         "label": jnp.asarray((transl[:, 0] > 0).astype(np.float32)),
     }
     for i in range(40):
@@ -174,9 +175,12 @@ def test_guided_sampling_raises_evaluator_score():
 
     model, params, ef, bps, _, _ = _tiny_guidance_setup()
     key = jax.random.PRNGKey(10)
-    base = sample_and_score_diffusion(model, params, ef, None, bps, key,
+    # normalizer keeps denormalized poses in the evaluator's sensitive
+    # range (untrained-DDIM outputs are large; saturation kills gradients)
+    norm = GraspNormalizer(mean=jnp.zeros(21), std=0.01 * jnp.ones(21))
+    base = sample_and_score_diffusion(model, params, ef, norm, bps, key,
                                       128, steps=12)
-    guided = sample_and_score_guided(model, params, ef, None, bps, key,
+    guided = sample_and_score_guided(model, params, ef, norm, bps, key,
                                      128, steps=12, guidance_scale=3.0)
     assert np.isfinite(np.asarray(guided.score)).all()
     assert float(jnp.mean(guided.score)) > float(jnp.mean(base.score))
@@ -184,18 +188,26 @@ def test_guided_sampling_raises_evaluator_score():
 
 def test_engine_guidance_scale_plumbing():
     """DiffusionEngine(guidance_scale=...) routes generate() through the
-    guided sampler; per-call override wins."""
+    guided sampler; per-call override wins.
+
+    The untrained diffuser's DDIM output is large-magnitude; without a
+    normalizer the evaluator saturates and its gradient vanishes (a no-op
+    guidance that made this test order-dependent).  The normalizer keeps
+    denormalized poses in the evaluator's sensitive range."""
     from dexgangrasp_tpu.engine.diffusion_pipeline import DiffusionEngine
 
     model, params, _, _, ep, es = _tiny_guidance_setup()
-    eng = DiffusionEngine(params, ep, es, model=model, ddim_steps=8,
-                          guidance_scale=2.0)
-    bps = rng.uniform(0, 0.2, 4096).astype(np.float32)
+    norm = GraspNormalizer(mean=jnp.zeros(21), std=0.01 * jnp.ones(21))
+    eng = DiffusionEngine(params, ep, es, model=model, normalizer=norm,
+                          ddim_steps=8, guidance_scale=5.0)
+    bps = np.random.default_rng(5).uniform(0, 0.2, 4096).astype(np.float32)
     g_on = eng.generate_grasps(bps, n_samples=16, seed=3)
     g_off = eng.generate_grasps(bps, n_samples=16, seed=3,
                                 guidance_scale=0.0)
     assert g_on["transl"].shape == (16, 3)
-    assert not np.allclose(g_on["transl"], g_off["transl"])
+    assert float(np.max(np.abs(g_on["transl"] - g_off["transl"]))) > 1e-4
+    # guided run must raise the mean evaluator score
+    assert float(np.mean(g_on["score"])) > float(np.mean(g_off["score"]))
 
 
 def test_sampled_grasps_flow_into_engine_scoring():

@@ -67,6 +67,27 @@ def test_chain_kernel_variable_depth_evaluator():
                                atol=1e-6)
 
 
+def test_pipeline_flag_matches_default_path():
+    """sample_and_score(use_chain_kernel=True) must reproduce the default
+    path (same key → same z → same grasps/scores/sort order)."""
+    from dexgangrasp_tpu.engine.pipeline import sample_and_score
+    from dexgangrasp_tpu.models.networks import init_evaluator as _ie
+
+    (_, gp, gs), _ = init_dexgan(jax.random.PRNGKey(0))
+    _, ep, es = _ie(jax.random.PRNGKey(1))
+    gen_folded = folding.fold_generator(gp, gs)
+    eva_folded = folding.fold_evaluator(ep, es)
+    bps = jnp.asarray(rng.uniform(0, 0.2, 4096).astype(np.float32))
+    key = jax.random.PRNGKey(4)
+    a = sample_and_score(gen_folded, eva_folded, bps, key, 128)
+    b = sample_and_score(gen_folded, eva_folded, bps, key, 128,
+                         use_chain_kernel=True)
+    np.testing.assert_allclose(np.asarray(b.score), np.asarray(a.score),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b.transl), np.asarray(a.transl),
+                               atol=1e-5)
+
+
 def test_chain_kernel_z_offset_and_scores_sane():
     gen_folded, eva_folded, gen_ctx, eva_ctx = _setup()
     z = jnp.asarray(rng.normal(size=(64, 5)).astype(np.float32))

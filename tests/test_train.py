@@ -99,6 +99,23 @@ def test_gan_step_runs_and_descends(is_wgan):
     assert int(ts.step) == 8
 
 
+def test_gan_step_bf16_mixed_precision():
+    """compute_dtype='bfloat16': masters + BN running stats stay f32, the
+    recon loss still descends on a fixed batch."""
+    trainer = GanTrainer(TrainConfig(compute_dtype="bfloat16"))
+    ts = trainer.init_gan_state(jax.random.PRNGKey(0))
+    batch = _toy_batch(32)
+    logs0 = None
+    for i in range(8):
+        ts, logs = trainer.gan_step(ts, batch, jax.random.PRNGKey(i))
+        if logs0 is None:
+            logs0 = logs
+    assert float(logs["transl_loss"]) < float(logs0["transl_loss"])
+    for leaf in jax.tree.leaves(ts.gen_params) + jax.tree.leaves(
+            ts.gen_state) + jax.tree.leaves(ts.disc_state):
+        assert leaf.dtype == jnp.float32
+
+
 def test_mode_seeking_regularizer():
     """ms_coef > 0 adds a finite ms_loss, changes the generator update, and
     pushes toward higher output diversity than the plain objective."""
