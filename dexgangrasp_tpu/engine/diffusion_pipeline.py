@@ -87,13 +87,24 @@ def sample_guided(model: DexDiffuser, diff_params: dict, eva_folded: dict,
     return g
 
 
-@functools.partial(jax.jit, static_argnames=("model", "n", "steps"))
+@functools.partial(jax.jit, static_argnames=("model", "n", "steps",
+                                             "use_ddim_kernel"))
 def sample_and_score_diffusion(model: DexDiffuser, diff_params: dict,
                                eva_folded: dict, normalizer, bps: jax.Array,
                                key: jax.Array, n: int, steps: int = 50,
-                               z_offset: float = 0.025) -> Grasps:
-    """bps (4096,) → n evaluator-scored diffusion grasps (no top-k cut)."""
-    g = model.sample(diff_params, bps, key, n, steps=steps)
+                               z_offset: float = 0.025,
+                               use_ddim_kernel: bool = False) -> Grasps:
+    """bps (4096,) → n evaluator-scored diffusion grasps (no top-k cut).
+
+    ``use_ddim_kernel``: run the whole S-step sampler as ONE Pallas
+    kernel (ops/ddim_chain.py; 1.25-1.65× on chip, within the XLA
+    sampler's own matmul-precision envelope)."""
+    if use_ddim_kernel:
+        from dexgangrasp_tpu.ops.ddim_chain import ddim_sample_pallas
+
+        g = ddim_sample_pallas(model, diff_params, bps, key, n, steps=steps)
+    else:
+        g = model.sample(diff_params, bps, key, n, steps=steps)
     if normalizer is not None:
         g = normalizer.denormalize(g)
     rot6, transl, joints = split_grasp_vector(g, model.n_joints)
@@ -155,6 +166,41 @@ def sample_and_topk_diffusion(model: DexDiffuser, diff_params: dict,
                   score=score, z=g).take(order)
 
 
+@functools.partial(jax.jit, static_argnames=("model", "n", "top_k", "steps",
+                                             "exact", "guidance_scale"))
+def sample_and_topk_multi_diffusion(model: DexDiffuser, diff_params: dict,
+                                    eva_folded: dict, normalizer,
+                                    bps_batch: jax.Array, key: jax.Array,
+                                    n: int, top_k: int, steps: int = 50,
+                                    z_offset: float = 0.025,
+                                    guidance_scale: float = 0.0,
+                                    exact: bool = False) -> Grasps:
+    """Multi-object batched diffusion serving: (O, 4096) BPS rows →
+    Grasps with leading (O, top_k) axes, one compiled program — the
+    diffusion counterpart of ``pipeline.sample_and_topk_multi`` (the
+    MAGD protocol / whole-scene path).  ``guidance_scale`` > 0 runs the
+    evaluator-guided sampler per object."""
+    keys = jax.random.split(key, bps_batch.shape[0])
+
+    def per_object(bps, k):
+        if guidance_scale:
+            g = sample_and_score_guided(model, diff_params, eva_folded,
+                                        normalizer, bps, k, n, steps=steps,
+                                        guidance_scale=guidance_scale,
+                                        z_offset=z_offset)
+        else:
+            g = sample_and_score_diffusion(model, diff_params, eva_folded,
+                                           normalizer, bps, k, n,
+                                           steps=steps, z_offset=z_offset)
+        if exact:
+            _, order = jax.lax.top_k(g.score, top_k)
+        else:
+            _, order = jax.lax.approx_max_k(g.score, top_k)
+        return g.take(order)
+
+    return jax.vmap(per_object)(bps_batch, keys)
+
+
 class DiffusionEngine:
     """GraspEngine-compatible serving façade for the diffusion family:
     same generate_grasps / evaluate_grasps / filter_grasps surface (so the
@@ -164,7 +210,8 @@ class DiffusionEngine:
     def __init__(self, diff_params: dict, eva_params: dict, eva_state: dict,
                  normalizer=None, model: DexDiffuser = None,
                  basis=None, z_offset: float = 0.025, cloud_pad: int = 8192,
-                 ddim_steps: int = 50, guidance_scale: float = 0.0):
+                 ddim_steps: int = 50, guidance_scale: float = 0.0,
+                 use_ddim_kernel=None):
         from dexgangrasp_tpu.ops.bps import BPSEncoder
 
         self.model = model or DexDiffuser()
@@ -176,6 +223,11 @@ class DiffusionEngine:
         self.z_offset = z_offset
         self.ddim_steps = ddim_steps
         self.guidance_scale = guidance_scale
+        # None = auto: the Pallas whole-sampler kernel on TPU (unguided
+        # path only — guidance needs the differentiable XLA scan)
+        if use_ddim_kernel is None:
+            use_ddim_kernel = jax.default_backend() == "tpu"
+        self.use_ddim_kernel = use_ddim_kernel
         self._key = jax.random.PRNGKey(0)
 
     @classmethod
@@ -218,7 +270,7 @@ class DiffusionEngine:
         return sample_and_score_diffusion(
             self.model, self.diff_params, self.eva_folded, self.normalizer,
             bps, self._next_key(seed), n_samples, steps=self.ddim_steps,
-            z_offset=zo)
+            z_offset=zo, use_ddim_kernel=self.use_ddim_kernel)
 
     def generate_grasps(self, bps, n_samples: int, return_arr: bool = True,
                         z_offset=None, seed=None, guidance_scale=None):
