@@ -88,18 +88,25 @@ def sample_guided(model: DexDiffuser, diff_params: dict, eva_folded: dict,
 
 
 @functools.partial(jax.jit, static_argnames=("model", "n", "steps",
-                                             "use_ddim_kernel"))
+                                             "use_ddim_kernel",
+                                             "cfg_weight"))
 def sample_and_score_diffusion(model: DexDiffuser, diff_params: dict,
                                eva_folded: dict, normalizer, bps: jax.Array,
                                key: jax.Array, n: int, steps: int = 50,
                                z_offset: float = 0.025,
-                               use_ddim_kernel: bool = False) -> Grasps:
+                               use_ddim_kernel: bool = False,
+                               cfg_weight: float = 0.0) -> Grasps:
     """bps (4096,) → n evaluator-scored diffusion grasps (no top-k cut).
 
     ``use_ddim_kernel``: run the whole S-step sampler as ONE Pallas
     kernel (ops/ddim_chain.py; 1.25-1.65× on chip, within the XLA
-    sampler's own matmul-precision envelope)."""
-    if use_ddim_kernel:
+    sampler's own matmul-precision envelope).
+    ``cfg_weight`` > 0: classifier-free-guided sampling (needs a
+    cfg_dropout-trained model; takes precedence over the kernel)."""
+    if cfg_weight:
+        g = model.sample_cfg(diff_params, bps, key, n, steps=steps,
+                             w=cfg_weight)
+    elif use_ddim_kernel:
         from dexgangrasp_tpu.ops.ddim_chain import ddim_sample_pallas
 
         g = ddim_sample_pallas(model, diff_params, bps, key, n, steps=steps)
@@ -211,7 +218,7 @@ class DiffusionEngine:
                  normalizer=None, model: DexDiffuser = None,
                  basis=None, z_offset: float = 0.025, cloud_pad: int = 8192,
                  ddim_steps: int = 50, guidance_scale: float = 0.0,
-                 use_ddim_kernel=None):
+                 use_ddim_kernel=None, cfg_weight: float = 0.0):
         from dexgangrasp_tpu.ops.bps import BPSEncoder
 
         self.model = model or DexDiffuser()
@@ -228,6 +235,7 @@ class DiffusionEngine:
         if use_ddim_kernel is None:
             use_ddim_kernel = jax.default_backend() == "tpu"
         self.use_ddim_kernel = use_ddim_kernel
+        self.cfg_weight = cfg_weight
         self._key = jax.random.PRNGKey(0)
 
     @classmethod
@@ -270,7 +278,8 @@ class DiffusionEngine:
         return sample_and_score_diffusion(
             self.model, self.diff_params, self.eva_folded, self.normalizer,
             bps, self._next_key(seed), n_samples, steps=self.ddim_steps,
-            z_offset=zo, use_ddim_kernel=self.use_ddim_kernel)
+            z_offset=zo, use_ddim_kernel=self.use_ddim_kernel,
+            cfg_weight=self.cfg_weight)
 
     def generate_grasps(self, bps, n_samples: int, return_arr: bool = True,
                         z_offset=None, seed=None, guidance_scale=None):

@@ -22,7 +22,8 @@ def run_diffusion_study(data_dir: str, steps: int = 30000,
                         batch_size: int = 256,
                         out_dir: str = "runs/diffusion_study",
                         eva_ckpt=None, seed: int = 0,
-                        ddim_steps: int = 50, bf16: bool = False) -> dict:
+                        ddim_steps: int = 50, bf16: bool = False,
+                        cfg_dropout: float = 0.0) -> dict:
     import numpy as np
 
     import jax
@@ -61,7 +62,8 @@ def run_diffusion_study(data_dir: str, steps: int = 30000,
     normalizer = GraspNormalizer.fit(g_all)
     trainer = DiffusionTrainer(
         DexDiffuser(), lr=3e-4, normalizer=normalizer,
-        compute_dtype=jnp.bfloat16 if bf16 else None)
+        compute_dtype=jnp.bfloat16 if bf16 else None,
+        cfg_dropout=cfg_dropout)
     table = build_diffusion_table(None, trainer, table=raw)
     dev = put_table(table)
     print(f"table: {table['bps_idx'].shape[0]} rows")
@@ -128,10 +130,13 @@ def main():
     ap.add_argument("--ddim-steps", type=int, default=50)
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 mixed-precision training (f32 masters)")
+    ap.add_argument("--cfg-dropout", type=float, default=0.0,
+                    help="classifier-free-guidance training dropout")
     args = ap.parse_args()
     run_diffusion_study(args.data_dir, args.steps, args.batch_size,
                         args.out, eva_ckpt=args.eva,
-                        ddim_steps=args.ddim_steps, bf16=args.bf16)
+                        ddim_steps=args.ddim_steps, bf16=args.bf16,
+                        cfg_dropout=args.cfg_dropout)
 
 
 if __name__ == "__main__":

@@ -27,14 +27,17 @@ class DiffusionTrainState:
 
 class DiffusionTrainer:
     def __init__(self, model: DexDiffuser = DexDiffuser(), lr: float = 3e-4,
-                 normalizer: GraspNormalizer = None, compute_dtype=None):
+                 normalizer: GraspNormalizer = None, compute_dtype=None,
+                 cfg_dropout: float = 0.0):
         """``compute_dtype=jnp.bfloat16`` = mixed precision: f32 master
         params + Adam state, bf16 denoiser fwd/bwd (models/diffusion.py
-        loss)."""
+        loss).  ``cfg_dropout`` > 0 trains the unconditional branch for
+        classifier-free guidance (``model.sample_cfg``)."""
         self.model = model
         self.tx = optax.adam(lr)
         self.normalizer = normalizer
         self.compute_dtype = compute_dtype
+        self.cfg_dropout = cfg_dropout
 
     def init_state(self, key: jax.Array) -> DiffusionTrainState:
         params = self.model.init(key)
@@ -63,7 +66,8 @@ class DiffusionTrainer:
         """Un-jitted step body (scanned by train/fast.py)."""
         loss, grads = jax.value_and_grad(
             lambda p: self.model.loss(p, key, bps, g0,
-                                      compute_dtype=self.compute_dtype)
+                                      compute_dtype=self.compute_dtype,
+                                      cfg_dropout=self.cfg_dropout)
         )(ts.params)
         updates, opt = self.tx.update(grads, ts.opt, ts.params)
         params = optax.apply_updates(ts.params, updates)

@@ -72,6 +72,31 @@ def test_training_descends_and_sampling_recovers_mode():
     assert np.median(err) < prior_dist * 0.45
 
 
+def test_cfg_training_and_sampling():
+    """cfg_dropout loss descends; sample_cfg(w=1) reduces exactly to the
+    plain conditional sampler; w≠1 changes the output."""
+    model = DexDiffuser(n_blocks=2, hidden=128, cond_dim=64)
+    tr = DiffusionTrainer(model, lr=2e-3, cfg_dropout=0.15)
+    ts = tr.init_state(jax.random.PRNGKey(0))
+    bps = jnp.asarray(rng.uniform(0, 0.2, (32, 4096)).astype(np.float32))
+    mode = jnp.asarray(rng.normal(size=(21,)).astype(np.float32))
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for i in range(150):
+        key, k1, k2 = jax.random.split(key, 3)
+        g0 = mode + 0.05 * jax.random.normal(k1, (32, 21))
+        ts, loss = tr.train_step(ts, bps, g0, k2)
+        losses.append(float(loss))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.8
+
+    k = jax.random.PRNGKey(7)
+    plain = model.sample(ts.params, bps[0], k, 32, steps=8)
+    w1 = model.sample_cfg(ts.params, bps[0], k, 32, steps=8, w=1.0)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(plain), atol=1e-5)
+    w3 = model.sample_cfg(ts.params, bps[0], k, 32, steps=8, w=3.0)
+    assert float(jnp.max(jnp.abs(w3 - plain))) > 1e-3
+
+
 def test_bf16_mixed_precision_training():
     """compute_dtype=bfloat16: master params/updates stay f32, the loss
     still descends, and the loss value tracks the f32 loss closely."""
