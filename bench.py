@@ -206,6 +206,33 @@ def main():
             diff = max(diff, float(np.max(np.abs(a - b))))
         extras["pallas_max_abs_diff"] = diff
 
+    # diffusion family serving latency (the diversity default): full
+    # DDIM-50 sample of 1000 grasps, whole-sampler Pallas kernel on TPU
+    try:
+        from dexgangrasp_tpu.models.diffusion import DexDiffuser
+        from dexgangrasp_tpu.ops.ddim_chain import ddim_sample_pallas
+
+        dmodel = DexDiffuser()
+        dparams = dmodel.init(jax.random.PRNGKey(7))
+
+        @jax.jit
+        def ddim_chain_bench(key):
+            def body(i, carry):
+                key, acc = carry
+                key, k = jax.random.split(key)
+                g = ddim_sample_pallas(dmodel, dparams, bps, k, 1000,
+                                       steps=50)
+                return (key, acc + g[0].sum())
+            return jax.lax.fori_loop(0, 10, body, (key, 0.0))[1]
+
+        float(np.asarray(ddim_chain_bench(jax.random.PRNGKey(0))))
+        t0 = time.perf_counter()
+        float(np.asarray(ddim_chain_bench(jax.random.PRNGKey(1))))
+        extras["ddim50_n1000_ms"] = round(
+            (time.perf_counter() - t0) * 100.0, 3)
+    except Exception as e:  # never let the extra metric kill the bench
+        extras["ddim50_n1000_ms"] = f"error: {e}"
+
     print(json.dumps({
         "metric": "grasps_per_sec",
         "value": round(best, 1),

@@ -185,3 +185,66 @@ def sharded_sample_and_score(mesh: Mesh):
         return run(gen_folded, eva_folded, bps, key, n)
 
     return call
+
+
+def sharded_sample_and_score_chain(mesh: Mesh):
+    """Grasp-axis-sharded fused inference through the per-grasp-chain
+    Pallas mega-kernel (ops/grasp_chain.py).
+
+    ``pallas_call`` does not auto-partition under GSPMD, so the kernel is
+    placed per device with ``shard_map``: the latent batch is split over
+    the data-parallel axes, the folded weights + per-object context folds
+    ride in replicated, and every device runs the whole chain on its
+    slice — zero collectives in the hot path (top-k afterwards is the
+    consumer's, same contract as ``sharded_sample_and_score``).
+
+    ``n`` must divide by the number of devices on the dp axes.
+    """
+    from dexgangrasp_tpu.core.grasp import Grasps
+    from dexgangrasp_tpu.engine import folding
+    from dexgangrasp_tpu.ops.grasp_chain import grasp_chain_pallas
+
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    rep = NamedSharding(mesh, P())
+    axis = dp_axes(mesh)
+    n_shards = 1
+    for a in axis:
+        n_shards *= mesh.shape[a]
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run(gen_folded, eva_folded, bps, key, n):
+        assert n % n_shards == 0, (n, n_shards)
+        latent = gen_folded["rb1"]["w1_z"].shape[0]
+        z = jax.random.normal(key, (n, latent), jnp.float32)
+        z = jax.lax.with_sharding_constraint(
+            z, NamedSharding(mesh, P(axis)))
+        gctx = folding.generator_object_context(gen_folded, bps)
+        ectx = folding.evaluator_object_context(eva_folded, bps)
+        n_joints = gen_folded["joint_conf"]["w"].shape[1]
+
+        def local(gf, ef, gc, ec, z_local):
+            return grasp_chain_pallas(gf, ef, gc, ec, z_local,
+                                      n_joints=n_joints)
+
+        # check_vma=False: pallas_call's out_shape carries no varying-
+        # mesh-axes annotation; the out_specs below are the contract
+        rot, transl, joints, score = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)),
+            check_vma=False)(
+                gen_folded, eva_folded, gctx, ectx, z)
+        return Grasps(transl=transl, rot_matrix=rot, joint_conf=joints,
+                      score=score, z=z)
+
+    def call(gen_folded, eva_folded, bps, key, n):
+        gen_folded = jax.device_put(gen_folded, rep)
+        eva_folded = jax.device_put(eva_folded, rep)
+        bps = jax.device_put(jnp.asarray(bps), rep)
+        return run(gen_folded, eva_folded, bps, key, n)
+
+    return call

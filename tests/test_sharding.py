@@ -229,6 +229,34 @@ def test_multislice_inference_spans_mesh():
     assert len(out.transl.sharding.device_set) == 8
 
 
+def test_sharded_chain_kernel_inference_matches_single_device():
+    """shard_map + per-device chain kernel: same numerics as the fused
+    single-device chain path; result spans the mesh."""
+    from dexgangrasp_tpu.parallel.sharding import (
+        sharded_sample_and_score_chain,
+    )
+
+    (gen, gp, gs), _ = init_dexgan(jax.random.PRNGKey(0))
+    eva, ep, es = init_evaluator(jax.random.PRNGKey(1))
+    gen_folded = folding.fold_generator(gp, gs)
+    eva_folded = folding.fold_evaluator(ep, es)
+    bps = jnp.asarray(rng.uniform(0, 0.2, size=(4096,)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    n = 256
+
+    ref = sample_and_score(gen_folded, eva_folded, bps, key, n,
+                           sort=False, use_chain_kernel=True)
+    mesh = data_parallel_mesh(8)
+    run = sharded_sample_and_score_chain(mesh)
+    out = run(gen_folded, eva_folded, bps, key, n)
+
+    np.testing.assert_allclose(np.asarray(out.score), np.asarray(ref.score),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.transl),
+                               np.asarray(ref.transl), atol=1e-5)
+    assert len(out.transl.sharding.device_set) == 8
+
+
 def test_shard_batch_layout():
     mesh = data_parallel_mesh(8)
     batch = shard_batch(_toy_batch(16), mesh)
