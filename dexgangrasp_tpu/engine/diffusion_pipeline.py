@@ -174,6 +174,53 @@ def sample_and_topk_diffusion(model: DexDiffuser, diff_params: dict,
 
 
 @functools.partial(jax.jit, static_argnames=("model", "n", "top_k", "steps",
+                                             "refine_steps", "exact",
+                                             "guidance_scale"))
+def sample_refine_rescore_diffusion(model: DexDiffuser, diff_params: dict,
+                                    eva_folded: dict, normalizer,
+                                    bps: jax.Array, key: jax.Array, n: int,
+                                    top_k: int, steps: int = 50,
+                                    refine_steps: int = 10,
+                                    guidance_scale: float = 0.0,
+                                    z_offset: float = 0.025,
+                                    exact: bool = False):
+    """The full diffusion serving chain in ONE program: DDIM sample
+    (optionally evaluator-guided) → gradient-refine by evaluator ascent →
+    SO(3)-project → re-score → top-k.
+
+    The diffusion counterpart of ``pipeline.sample_refine_rescore``; the
+    measured quality ladder is docs/RESULTS.md (raw 0.67 → guided 0.96 →
+    +refine 0.996 true success).  Returns (Grasps top-k sorted by refined
+    score, success trajectory (refine_steps+1, n))."""
+    from dexgangrasp_tpu.core.rotations import project_to_so3
+    from dexgangrasp_tpu.engine.refine import refine_grasps_gradient
+
+    if guidance_scale:
+        g = sample_and_score_guided(model, diff_params, eva_folded,
+                                    normalizer, bps, key, n, steps=steps,
+                                    guidance_scale=guidance_scale,
+                                    z_offset=z_offset)
+    else:
+        g = sample_and_score_diffusion(model, diff_params, eva_folded,
+                                       normalizer, bps, key, n,
+                                       steps=steps, z_offset=z_offset)
+    rot, transl, joints, traj = refine_grasps_gradient(
+        eva_folded, bps, g.rot_matrix, g.transl, g.joint_conf,
+        num_steps=refine_steps)
+    rot = project_to_so3(rot)
+    ectx = folding.evaluator_object_context(eva_folded, bps)
+    pose = jnp.concatenate([rot.reshape(n, 9), transl], axis=1)
+    score = folding.evaluator_apply_folded(eva_folded, ectx, pose)
+    out = Grasps(transl=transl, rot_matrix=rot, joint_conf=joints,
+                 score=score, z=g.z)
+    if exact:
+        _, order = jax.lax.top_k(score, top_k)
+    else:
+        _, order = jax.lax.approx_max_k(score, top_k)
+    return out.take(order), traj
+
+
+@functools.partial(jax.jit, static_argnames=("model", "n", "top_k", "steps",
                                              "exact", "guidance_scale"))
 def sample_and_topk_multi_diffusion(model: DexDiffuser, diff_params: dict,
                                     eva_folded: dict, normalizer,

@@ -235,6 +235,32 @@ def test_engine_guidance_scale_plumbing():
     assert float(np.mean(g_on["score"])) > float(np.mean(g_off["score"]))
 
 
+def test_sample_refine_rescore_diffusion():
+    """The fused diffusion serving chain: refinement must raise the mean
+    evaluator success trajectory; output is top-k shaped and SO(3)."""
+    from dexgangrasp_tpu.engine.diffusion_pipeline import (
+        sample_refine_rescore_diffusion,
+    )
+
+    model, params, ef, bps, _, _ = _tiny_guidance_setup()
+    norm = GraspNormalizer(mean=jnp.zeros(21), std=0.01 * jnp.ones(21))
+    out, traj = sample_refine_rescore_diffusion(
+        model, params, ef, norm, bps, jax.random.PRNGKey(13), 64, 8,
+        steps=6, refine_steps=5, exact=True)
+    assert out.transl.shape == (8, 3)
+    assert traj.shape == (6, 64)
+    assert float(jnp.mean(traj[-1])) > float(jnp.mean(traj[0]))
+    eye = np.einsum("bij,bkj->bik", np.asarray(out.rot_matrix),
+                    np.asarray(out.rot_matrix))
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape),
+                               atol=1e-4)
+    # guided variant compiles + runs
+    out2, _ = sample_refine_rescore_diffusion(
+        model, params, ef, norm, bps, jax.random.PRNGKey(13), 32, 4,
+        steps=6, refine_steps=3, guidance_scale=2.0, exact=True)
+    assert out2.transl.shape == (4, 3)
+
+
 def test_multi_object_diffusion_topk():
     """(O, 4096) bps → (O, top_k) grasps in one program; per-object rows
     must match the single-object sampler at the same per-object key."""
