@@ -89,16 +89,23 @@ def batchnorm_init(n: int, gain: float = 0.02,
 
 def batchnorm_apply(p: dict, s: dict, x: jax.Array, train: bool
                     ) -> Tuple[jax.Array, dict]:
-    """BatchNorm1d over axis 0. Returns (y, new_state)."""
+    """BatchNorm1d over axis 0. Returns (y, new_state).
+
+    Batch statistics are always accumulated in f32 — a no-op for the
+    (default) f32 path, and the load-bearing precision fix for bf16
+    mixed-precision training: bf16 mean/variance over large batches is
+    what destabilizes normalization, not the matmuls."""
     if train:
-        mean = jnp.mean(x, axis=0)
-        var = jnp.mean((x - mean) ** 2, axis=0)  # biased, used to normalize
+        xs = x.astype(jnp.float32)
+        mean = jnp.mean(xs, axis=0)
+        var = jnp.mean((xs - mean) ** 2, axis=0)  # biased, to normalize
         n = x.shape[0]
         unbiased = var * (n / max(n - 1, 1))
         new_state = {
             "mean": (1 - BN_MOMENTUM) * s["mean"] + BN_MOMENTUM * mean,
             "var": (1 - BN_MOMENTUM) * s["var"] + BN_MOMENTUM * unbiased,
         }
+        mean, var = mean.astype(x.dtype), var.astype(x.dtype)
     else:
         mean, var = s["mean"], s["var"]
         new_state = s
