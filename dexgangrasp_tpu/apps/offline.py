@@ -74,11 +74,16 @@ def main():
     ap.add_argument("--eva", default=None)
     ap.add_argument("--n-samples", type=int, default=1000)
     ap.add_argument("--visualize", action="store_true")
+    ap.add_argument("--model", default="gan",
+                    choices=["gan", "vae", "diffusion"])
+    ap.add_argument("--guidance-scale", type=float, default=0.0,
+                    help="diffusion only: evaluator-guided DDIM strength")
     args = ap.parse_args()
 
     from dexgangrasp_tpu import cli as eval_cli  # reuse checkpoint loading
 
-    engine = eval_cli.load_engine(args.gen, args.eva)
+    engine = eval_cli.load_engine(args.gen, args.eva, model=args.model,
+                                  guidance_scale=args.guidance_scale)
     results = eval_sampling_and_filtering_real(
         engine, args.real_objects, n_samples=args.n_samples,
         visualize=args.visualize)

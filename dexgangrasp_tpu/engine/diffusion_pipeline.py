@@ -292,9 +292,15 @@ class DiffusionEngine:
         from dexgangrasp_tpu.ops.bps import load_basis
         from dexgangrasp_tpu.train import checkpoints as ckpt
 
-        trees, _ = ckpt.load_pytrees(diff_path)
-        normalizer = GraspNormalizer(mean=trees["normalizer_mean"],
-                                     std=trees["normalizer_std"])
+        if diff_path is None:  # untrained init (smoke/demo parity with
+            # GraspEngine.from_checkpoints(None))
+            model = kw.get("model") or DexDiffuser()
+            trees = {"params": model.init(jax.random.PRNGKey(0))}
+            normalizer = None
+        else:
+            trees, _ = ckpt.load_pytrees(diff_path)
+            normalizer = GraspNormalizer(mean=trees["normalizer_mean"],
+                                         std=trees["normalizer_std"])
         if eva_path:
             etrees, _ = ckpt.load_pytrees(eva_path)
             ep, es = etrees["params"], etrees["state"]
