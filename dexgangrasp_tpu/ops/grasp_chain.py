@@ -50,10 +50,15 @@ def _eva_rb_names(eva_folded: dict) -> List[str]:
 
 
 def pack_inputs(gen_folded: dict, eva_folded: dict, gen_ctx: dict,
-                eva_ctx: dict) -> Tuple[list, int]:
+                eva_ctx: dict, dtype=jnp.float32) -> Tuple[list, int]:
     """Flatten the folded weights + per-object contexts into the kernel's
-    positional input list.  Returns (inputs, n_eva_resblocks)."""
-    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    positional input list.  Returns (inputs, n_eva_resblocks).
+
+    ``dtype=bfloat16`` stores the MATMUL operands (weight matrices) in
+    bf16 — the serving mixed-precision mode: the MXU runs bf16 at ~2× the
+    f32 rate and the weights' VMEM footprint halves.  Bias/context rows
+    and all adds stay f32 (they feed the f32 accumulators)."""
+    f32 = lambda a: jnp.asarray(a, dtype)
     g1, g2 = gen_folded["rb1"], gen_folded["rb2"]
     inputs = [
         f32(g1["w1_z"]), f32(g1["w2"]), _row(g1["b2"]), f32(g1["w3_z"]),
@@ -82,8 +87,10 @@ def pack_inputs(gen_folded: dict, eva_folded: dict, gen_ctx: dict,
     return inputs, len(names)
 
 
-def _make_kernel(n_eva_rb: int, n_joints: int):
-    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+def _make_kernel(n_eva_rb: int, n_joints: int, cdt=jnp.float32):
+    # matmul operands cast to cdt (bf16 serving mode); accumulation f32
+    dot = lambda a, w: jnp.dot(a.astype(cdt), w,
+                               preferred_element_type=jnp.float32)
 
     def kernel(z_ref, zo_ref, *refs):
         z_offset = zo_ref[0, 0]
@@ -163,18 +170,26 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("n_joints", "tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_joints", "tile", "interpret",
+                                             "bf16"))
 def grasp_chain_pallas(gen_folded: dict, eva_folded: dict, gen_ctx: dict,
                        eva_ctx: dict, z: jax.Array,
                        z_offset=0.025, n_joints: int = 12,
-                       tile: int = 512, interpret: bool = False):
+                       tile: int = 512, interpret: bool = False,
+                       bf16: bool = False):
     """z (N, L) latents → (rot (N,3,3), transl (N,3), joints (N,J),
-    score (N,)) via the single fused kernel.  ``z_offset`` may be traced."""
+    score (N,)) via the single fused kernel.  ``z_offset`` may be traced.
+
+    ``bf16=True`` = serving mixed precision: matmul operands bf16 (2×
+    MXU rate, half the weight VMEM), f32 accumulation/adds/Gram-Schmidt/
+    sigmoid.  Opt-in; ranking fidelity study in tools/chain_bench.py."""
     n = z.shape[0]
     # Mosaic is TPU-only; off-TPU (CPU test meshes) fall back to the
     # interpreter so the flag is usable everywhere
     interpret = interpret or jax.default_backend() != "tpu"
-    inputs, n_eva_rb = pack_inputs(gen_folded, eva_folded, gen_ctx, eva_ctx)
+    cdt = jnp.bfloat16 if bf16 else jnp.float32
+    inputs, n_eva_rb = pack_inputs(gen_folded, eva_folded, gen_ctx, eva_ctx,
+                                   dtype=cdt)
     t = min(tile, _round_up(n, 8))
     n_pad = _round_up(n, t)
     if n_pad != n:
@@ -182,7 +197,7 @@ def grasp_chain_pallas(gen_folded: dict, eva_folded: dict, gen_ctx: dict,
     out_dim = 9 + 3 + n_joints + 1
     zo = jnp.asarray(z_offset, jnp.float32).reshape(1, 1)
 
-    kernel = _make_kernel(n_eva_rb, n_joints)
+    kernel = _make_kernel(n_eva_rb, n_joints, cdt)
     const = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)
     flops_w = sum(int(a.shape[0]) * int(a.shape[1])

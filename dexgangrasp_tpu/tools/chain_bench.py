@@ -89,6 +89,28 @@ def run(n: int = 16384, iters: int = 50, top_k: int = 1024,
                                                       1)
         print(json.dumps(report), flush=True)
 
+    # bf16 serving mode (matmul operands bf16, f32 accumulate)
+    for t in (1024, 2048):
+        body16 = lambda z, _t=t: grasp_chain_pallas(
+            gen_folded, eva_folded, gctx, ectx, z, z_offset=0.025, tile=_t,
+            bf16=True)
+        report[f"pallas_bf16_t{t}_grasps_per_sec"] = round(
+            timed(chain_fn(body16)), 1)
+        print(json.dumps(report), flush=True)
+
+    # bf16 ranking fidelity: top-k overlap + score error vs the f32 kernel
+    zf = jax.random.normal(jax.random.PRNGKey(6), (n, 5), jnp.float32)
+    _, _, _, s32 = grasp_chain_pallas(gen_folded, eva_folded, gctx, ectx,
+                                      zf, z_offset=0.025, tile=tiles[0])
+    _, _, _, s16 = grasp_chain_pallas(gen_folded, eva_folded, gctx, ectx,
+                                      zf, z_offset=0.025, tile=tiles[0],
+                                      bf16=True)
+    for k in (10, 100, 1024):
+        a = set(np.asarray(jax.lax.top_k(s32, k)[1]).tolist())
+        b = set(np.asarray(jax.lax.top_k(s16, k)[1]).tolist())
+        report[f"bf16_top{k}_overlap"] = round(len(a & b) / k, 4)
+    report["bf16_score_max_abs_err"] = float(jnp.max(jnp.abs(s16 - s32)))
+
     # on-hardware numerics: same latents through both paths
     z = jax.random.normal(jax.random.PRNGKey(5), (n, 5), jnp.float32)
     ref = xla_body(z)
