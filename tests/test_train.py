@@ -266,6 +266,28 @@ def test_checkpoint_roundtrip_orbax(tmp_path):
     assert int(ts3.step) == int(ts.step) + 1
 
 
+def test_orbax_checkpoints_serve_through_engine(tmp_path):
+    """The orbax backend ties into the product: a GAN dir + evaluator dir
+    load straight into GraspEngine.from_checkpoints (auto-detected) and
+    serve grasps identical to the in-memory weights."""
+    from dexgangrasp_tpu.engine.pipeline import GraspEngine
+
+    trainer = GanTrainer(TrainConfig())
+    ts = trainer.init_gan_state(jax.random.PRNGKey(0))
+    ets = trainer.init_evaluator_state(jax.random.PRNGKey(1))
+    gp = save_gan(str(tmp_path), 3, ts, backend="orbax")
+    ep = save_evaluator(str(tmp_path), 3, ets, backend="orbax")
+
+    eng_ckpt = GraspEngine.from_checkpoints(gp, ep)
+    eng_mem = GraspEngine(ts.gen_params, ts.gen_state, ets.params,
+                          ets.state)
+    bps = rng.uniform(0, 0.2, 4096).astype(np.float32)
+    a = eng_ckpt.generate_grasps(bps, n_samples=16, seed=5)
+    b = eng_mem.generate_grasps(bps, n_samples=16, seed=5)
+    np.testing.assert_allclose(a["transl"], b["transl"], atol=1e-6)
+    np.testing.assert_allclose(a["score"], b["score"], atol=1e-6)
+
+
 def test_set_lr_affects_updates():
     trainer = GanTrainer(TrainConfig())
     ts = trainer.init_gan_state(jax.random.PRNGKey(0))
