@@ -112,11 +112,20 @@ def bps_encode_xla(basis: jax.Array, points: jax.Array,
 
 
 def _bps_kernel(basis_ref, points_ref, out_ref):
-    """Grid (B/TILE_B, N/TILE_N): one (TILE_N, TILE_B) distance tile.
+    """Grid (B/TILE_B, N/TILE_N): one (TILE_B, TILE_N) distance tile via
+    direct broadcast-subtract — d² = Σ_c (b_c − p_c)² computed exactly in
+    f32 on the VPU.
 
-    Inputs are transposed to (3, ·) so the long axes sit on TPU lanes.
-    Axis 1 (cloud tiles) is innermost; the out tile is revisited across it,
-    so initialize at j==0 and fold the running min in place.
+    This replaced an earlier |a|²+|b|²−2a·b MXU formulation: with K=3 the
+    matmul is all overhead (and needs HIGHEST precision against
+    catastrophic cancellation); the subtract form measured 25% faster AND
+    8e-8-exact (tools history in docs/RESULTS.md).  Layout: basis coords
+    ride pre-broadcast across a 128-lane minor dim so each (TILE_B, 128)
+    slab `pltpu.repeat`s into lane-major tiles; the cloud tile broadcasts
+    one (1, TILE_N) row down the sublanes; the min reduces along lanes.
+
+    Axis 1 (cloud tiles) is innermost; the out tile is revisited across
+    it, so initialize at j==0 and fold the running min in place.
     """
     j = pl.program_id(1)
 
@@ -124,19 +133,16 @@ def _bps_kernel(basis_ref, points_ref, out_ref):
     def _():
         out_ref[:] = jnp.full_like(out_ref, jnp.inf)
 
-    basis_t = basis_ref[:]  # (3, TILE_B)
-    pts_t = points_ref[:]  # (3, TILE_N)
-    b_sq = jnp.sum(basis_t * basis_t, axis=0, keepdims=True)  # (1, TILE_B)
-    p_sq = jnp.sum(pts_t * pts_t, axis=0)[:, None]  # (TILE_N, 1)
-    cross = jax.lax.dot_general(
-        pts_t, basis_t,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (TILE_N, TILE_B)
-    d2 = p_sq + b_sq - 2.0 * cross
-    tile_min = jnp.min(d2, axis=0, keepdims=True)  # (1, TILE_B)
-    out_ref[:] = jnp.minimum(out_ref[:], tile_min)
+    pt = points_ref[:]  # (3, TILE_N)
+    tile_n = pt.shape[1]
+    acc = None
+    for c in range(3):
+        b_c = pltpu.repeat(basis_ref[c], tile_n // 128, axis=1)
+        d = b_c - pt[c:c + 1, :]  # (TILE_B, TILE_N)
+        t = d * d
+        acc = t if acc is None else acc + t
+    out_ref[:] = jnp.minimum(out_ref[:],
+                             jnp.min(acc, axis=1, keepdims=True))
 
 
 @jax.jit
@@ -150,25 +156,28 @@ def bps_encode_pallas(basis: jax.Array, points: jax.Array) -> jax.Array:
     assert B % _TILE_B == 0, B
     assert N % _TILE_N == 0, N
     grid = (B // _TILE_B, N // _TILE_N)
+    # per-coordinate basis values broadcast across a 128-lane minor dim
+    bb = jnp.broadcast_to(
+        basis.astype(jnp.float32).T[:, :, None], (3, B, 128))
     out = pl.pallas_call(
         _bps_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((3, _TILE_B), lambda i, j: (0, i),
+            pl.BlockSpec((3, _TILE_B, 128), lambda i, j: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, _TILE_N), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _TILE_B), lambda i, j: (0, i),
+        out_specs=pl.BlockSpec((_TILE_B, 1), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * N * 3 + 2 * B * N,
-            bytes_accessed=(B * 3 + N * 3 + B) * 4,
+            flops=9 * B * N,
+            bytes_accessed=(B * 3 * 128 + N * 3 + B) * 4,
             transcendentals=0,
         ),
-    )(basis.astype(jnp.float32).T, points.astype(jnp.float32).T)
-    return jnp.sqrt(jnp.maximum(out[0], 0.0))
+    )(bb, points.astype(jnp.float32).T)
+    return jnp.sqrt(jnp.maximum(out[:, 0], 0.0))
 
 
 def _on_tpu() -> bool:
