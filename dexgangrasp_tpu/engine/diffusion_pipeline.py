@@ -308,9 +308,9 @@ class DiffusionEngine:
             from dexgangrasp_tpu.models.networks import init_evaluator
 
             _, ep, es = init_evaluator(jax.random.PRNGKey(1))
-        basis = load_basis(basis_path) if basis_path else None
-        return cls(trees["params"], ep, es, normalizer=normalizer,
-                   basis=basis, **kw)
+        if basis_path:
+            kw["basis"] = load_basis(basis_path)
+        return cls(trees["params"], ep, es, normalizer=normalizer, **kw)
 
     def _next_key(self, seed):
         if seed is not None:

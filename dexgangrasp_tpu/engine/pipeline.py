@@ -54,7 +54,9 @@ def sample_and_score(gen_folded: dict, eva_folded: dict, bps: jax.Array,
       use_chain_kernel: run the whole per-grasp chain (generator → rot6d →
         back-off → evaluator) as ONE Pallas kernel with every intermediate
         in VMEM (ops/grasp_chain.py) instead of the XLA layer graph.
-        Bit-near identical results; faster in the bandwidth-bound regime.
+        Bit-near identical results; measured a statistical tie with the
+        XLA path on-chip (runs/chain_bench.json) — an option, not the
+        default.
 
     Returns a ``Grasps`` batch with ``score`` filled.
     """

@@ -20,7 +20,8 @@ import numpy as np
 
 
 def run(n: int = 16384, iters: int = 50, top_k: int = 1024,
-        tiles=(256, 512, 1024), out_path: str = "runs/chain_bench.json"):
+        tiles=(256, 512, 1024), out_path: str = "runs/chain_bench.json",
+        gen_ckpt: str = None, eva_ckpt: str = None):
     import jax
     import jax.numpy as jnp
 
@@ -36,10 +37,24 @@ def run(n: int = 16384, iters: int = 50, top_k: int = 1024,
     from dexgangrasp_tpu.models.networks import init_dexgan, init_evaluator
     from dexgangrasp_tpu.ops.grasp_chain import grasp_chain_pallas
 
-    (_, gp, gs), _ = init_dexgan(jax.random.PRNGKey(0))
-    _, ep, es = init_evaluator(jax.random.PRNGKey(1))
-    gen_folded = folding.fold_generator(gp, gs)
-    eva_folded = folding.fold_evaluator(ep, es)
+    # Trained checkpoints make the bf16 fidelity numbers meaningful: a
+    # random-init evaluator's sigmoid scores are constant to ~2e-7, below
+    # any resolvable bf16-vs-f32 difference (ADVICE r2) — so default to the
+    # committed study checkpoints when present.
+    if gen_ckpt and eva_ckpt:
+        from dexgangrasp_tpu.train.checkpoints import load_evaluator, load_gan
+
+        gt, _ = load_gan(gen_ckpt)
+        et, _ = load_evaluator(eva_ckpt)
+        gen_folded = folding.fold_generator(gt["gen_params"], gt["gen_state"])
+        eva_folded = folding.fold_evaluator(et["params"], et["state"])
+        weights = "trained"
+    else:
+        (_, gp, gs), _ = init_dexgan(jax.random.PRNGKey(0))
+        _, ep, es = init_evaluator(jax.random.PRNGKey(1))
+        gen_folded = folding.fold_generator(gp, gs)
+        eva_folded = folding.fold_evaluator(ep, es)
+        weights = "random-init"
     rng = np.random.default_rng(0)
     bps = jnp.asarray(rng.uniform(0, 0.2, 4096).astype(np.float32))
     gctx = folding.generator_object_context(gen_folded, bps)
@@ -79,7 +94,7 @@ def run(n: int = 16384, iters: int = 50, top_k: int = 1024,
             best = max(best, iters * n / dt)
         return best
 
-    report = {"n": n, "iters": iters,
+    report = {"n": n, "iters": iters, "weights": weights,
               "device": str(jax.devices()[0].device_kind)}
     report["xla_grasps_per_sec"] = round(timed(chain_fn(xla_body)), 1)
     for t in tiles:
@@ -110,6 +125,7 @@ def run(n: int = 16384, iters: int = 50, top_k: int = 1024,
         b = set(np.asarray(jax.lax.top_k(s16, k)[1]).tolist())
         report[f"bf16_top{k}_overlap"] = round(len(a & b) / k, 4)
     report["bf16_score_max_abs_err"] = float(jnp.max(jnp.abs(s16 - s32)))
+    report["score_std"] = float(jnp.std(s32))  # spread context for the above
 
     # on-hardware numerics: same latents through both paths
     z = jax.random.normal(jax.random.PRNGKey(5), (n, 5), jnp.float32)
@@ -128,12 +144,24 @@ def run(n: int = 16384, iters: int = 50, top_k: int = 1024,
 
 
 def main():
+    import os
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=16384)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--out", default="runs/chain_bench.json")
+    ap.add_argument("--gen-ckpt", default="runs/gan_study/20000_gen_net.npz")
+    ap.add_argument("--eva-ckpt",
+                    default="runs/eval_study_xl/300000_eva_net.npz")
+    ap.add_argument("--random-init", action="store_true",
+                    help="use random-init nets instead of the checkpoints")
     args = ap.parse_args()
-    run(n=args.n, iters=args.iters, out_path=args.out)
+    gen_ckpt = eva_ckpt = None
+    if not args.random_init and os.path.isfile(args.gen_ckpt) \
+            and os.path.isfile(args.eva_ckpt):
+        gen_ckpt, eva_ckpt = args.gen_ckpt, args.eva_ckpt
+    run(n=args.n, iters=args.iters, out_path=args.out,
+        gen_ckpt=gen_ckpt, eva_ckpt=eva_ckpt)
 
 
 if __name__ == "__main__":

@@ -68,6 +68,8 @@ def _save_pytrees_orbax(path: str, trees: Dict[str, Any],
     hosts — the backend for multi-slice runs where gathering the full
     optimizer state onto one host (the npz path) would not scale.
     """
+    import shutil
+
     import orbax.checkpoint as ocp
 
     flat: Dict[str, Any] = {}
@@ -78,11 +80,22 @@ def _save_pytrees_orbax(path: str, trees: Dict[str, Any],
         for i, leaf in enumerate(leaves):
             flat[f"{name}::{i}"] = jnp.asarray(leaf)
     path = os.path.abspath(path)
-    ocp.PyTreeCheckpointer().save(path, flat, force=True)
-    with open(os.path.join(path, "dexgg_structs.pkl"), "wb") as f:
+    # Atomic commit: orbax finalizes its own directory, but our sidecars
+    # land after — so assemble everything in a staging dir and rename it
+    # into place last.  A crash at any point leaves either the previous
+    # complete checkpoint or a stray .tmp dir, never a directory that
+    # load_pytrees would auto-detect as orbax and then fail on.
+    tmp = path + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    ocp.PyTreeCheckpointer().save(tmp, flat, force=True)
+    with open(os.path.join(tmp, "dexgg_structs.pkl"), "wb") as f:
         pickle.dump(structs, f)
-    with open(os.path.join(path, "dexgg_meta.json"), "w") as f:
+    with open(os.path.join(tmp, "dexgg_meta.json"), "w") as f:
         json.dump(meta or {}, f)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
 
 
 def _load_pytrees_orbax(path: str) -> Tuple[Dict[str, Any], dict]:

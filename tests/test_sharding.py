@@ -264,3 +264,115 @@ def test_shard_batch_layout():
     assert len(arr.sharding.device_set) == 8
     shapes = {tuple(s.data.shape) for s in arr.addressable_shards}
     assert shapes == {(2, 4096)}
+
+
+# ------------------------------------------- sharded scan-chunk trainer
+
+
+def _toy_table(rows=64, views=4, nj=12, with_label=True, with_joints=True):
+    from scipy.spatial.transform import Rotation
+    t = {"bps": rng.uniform(0, 0.2, size=(views, 4096)).astype(np.float32),
+         "bps_idx": rng.integers(0, views, rows).astype(np.int32),
+         "rot9": Rotation.random(rows, rng=rng).as_matrix().reshape(
+             rows, 9).astype(np.float32),
+         "transl": (rng.normal(size=(rows, 3)) * 0.1).astype(np.float32)}
+    if with_joints:
+        t["joint_conf"] = rng.uniform(0, 1, size=(rows, nj)).astype(np.float32)
+    if with_label:
+        t["label"] = (rng.uniform(size=(rows,)) > 0.5).astype(np.float32)
+    return t
+
+
+def test_evaluator_chunk_sharded_matches_single_device():
+    """The device-resident scan trainer (train/fast.py), dp-sharded over the
+    mesh, must match its unsharded execution step-for-step (VERDICT r2
+    next-1: multi-chip training uses the SAME scan program)."""
+    from dexgangrasp_tpu.train.fast import evaluator_train_chunk, put_table
+
+    trainer = GanTrainer(TrainConfig())
+    ts = trainer.init_evaluator_state(jax.random.PRNGKey(0))
+    table = _toy_table(with_joints=False)
+    key = jax.random.PRNGKey(5)
+
+    ts_ref, losses_ref = evaluator_train_chunk(
+        trainer, ts, put_table(table), key, steps=4, batch_size=16)
+
+    mesh = data_parallel_mesh(8)
+    from dexgangrasp_tpu.parallel.sharding import replicate
+
+    ts_sh, losses_sh = evaluator_train_chunk(
+        trainer, replicate(ts, mesh), put_table(table, mesh), key,
+        steps=4, batch_size=16, mesh=mesh)
+
+    np.testing.assert_allclose(np.asarray(losses_sh), np.asarray(losses_ref),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(ts_ref.params),
+                    jax.tree.leaves(ts_sh.params)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3)
+        assert np.mean(np.abs(a - b)) < 2e-5
+    # the table really lives replicated on all 8 devices
+    assert len(put_table(table, mesh)["bps"].sharding.device_set) == 8
+
+
+def test_gan_chunk_sharded_matches_single_device():
+    from dexgangrasp_tpu.train.fast import gan_train_chunk, put_table
+
+    trainer = GanTrainer(TrainConfig())
+    ts = trainer.init_gan_state(jax.random.PRNGKey(1))
+    table = _toy_table(with_label=False)
+    key = jax.random.PRNGKey(6)
+
+    ts_ref, logs_ref = gan_train_chunk(
+        trainer, ts, put_table(table), key, steps=3, batch_size=16)
+
+    mesh = multislice_mesh(2, [("data", 4)])  # dp spans ('dcn','data')
+    from dexgangrasp_tpu.parallel.sharding import replicate
+
+    ts_sh, logs_sh = gan_train_chunk(
+        trainer, replicate(ts, mesh), put_table(table, mesh), key,
+        steps=3, batch_size=16, mesh=mesh)
+
+    # per-step losses compound Adam's reduction-order wiggle over the scan
+    # (step k's loss is evaluated at slightly-different params) — rtol 5e-4
+    # covers the drift while a real dp bug (wrong mean) shifts by O(1)
+    np.testing.assert_allclose(np.asarray(logs_sh["total_loss_gen"]),
+                               np.asarray(logs_ref["total_loss_gen"]),
+                               rtol=5e-4, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(ts_ref.gen_params),
+                    jax.tree.leaves(ts_sh.gen_params)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3)
+        assert np.mean(np.abs(a - b)) < 2e-5
+
+
+def test_diffusion_chunk_sharded_matches_single_device():
+    from dexgangrasp_tpu.models.diffusion import DexDiffuser
+    from dexgangrasp_tpu.train.diffusion import DiffusionTrainer
+    from dexgangrasp_tpu.train.fast import diffusion_train_chunk, put_table
+
+    model = DexDiffuser()
+    trainer = DiffusionTrainer(model)
+    ts = trainer.init_state(jax.random.PRNGKey(2))
+    table = _toy_table(with_label=False, with_joints=False)
+    table["g0"] = rng.normal(size=(64, trainer.model.g_dim)).astype(
+        np.float32)
+    key = jax.random.PRNGKey(7)
+
+    ts_ref, losses_ref = diffusion_train_chunk(
+        trainer, ts, put_table(table), key, steps=3, batch_size=16)
+
+    mesh = data_parallel_mesh(8)
+    from dexgangrasp_tpu.parallel.sharding import replicate
+
+    ts_sh, losses_sh = diffusion_train_chunk(
+        trainer, replicate(ts, mesh), put_table(table, mesh), key,
+        steps=3, batch_size=16, mesh=mesh)
+
+    np.testing.assert_allclose(np.asarray(losses_sh), np.asarray(losses_ref),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(ts_ref.params),
+                    jax.tree.leaves(ts_sh.params)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3)
+        assert np.mean(np.abs(a - b)) < 2e-5
