@@ -233,6 +233,38 @@ def main():
     except Exception as e:  # never let the extra metric kill the bench
         extras["ddim50_n1000_ms"] = f"error: {e}"
 
+    # PRODUCTION recipe serving latency (VERDICT r2 next-2/weak-4): guided
+    # DDIM-10 — the differentiable XLA scan with an evaluator VJP per step
+    # (engine/diffusion_pipeline.py:sample_guided), n=1000, as served by
+    # the closed-loop frame program.
+    try:
+        from dexgangrasp_tpu.engine.diffusion_pipeline import (
+            sample_and_score_guided,
+        )
+        from dexgangrasp_tpu.models.diffusion import DexDiffuser
+
+        gmodel = DexDiffuser()
+        gparams = gmodel.init(jax.random.PRNGKey(7))
+
+        @jax.jit
+        def guided_chain(key):
+            def body(i, carry):
+                key, acc = carry
+                key, k = jax.random.split(key)
+                g = sample_and_score_guided(gmodel, gparams, eva_folded,
+                                            None, bps, k, 1000, steps=10,
+                                            guidance_scale=10.0)
+                return (key, acc + g.score[0] + g.transl[0].sum())
+            return jax.lax.fori_loop(0, 10, body, (key, 0.0))[1]
+
+        float(np.asarray(guided_chain(jax.random.PRNGKey(0))))
+        t0 = time.perf_counter()
+        float(np.asarray(guided_chain(jax.random.PRNGKey(1))))
+        extras["guided_ddim10_n1000_ms"] = round(
+            (time.perf_counter() - t0) * 100.0, 3)
+    except Exception as e:
+        extras["guided_ddim10_n1000_ms"] = f"error: {e}"
+
     print(json.dumps({
         "metric": "grasps_per_sec",
         "value": round(best, 1),

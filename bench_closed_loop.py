@@ -1,13 +1,22 @@
 #!/usr/bin/env python3
 """Secondary benchmark: camera-rate closed loop (BASELINE config #5).
 
-Simulated RealSense frame (720×1280 organized cloud) → ROI crop →
-statistical outlier removal → RANSAC plane seg → center → BPS encode →
-sample 10k grasps → score → top-10 — the full per-frame pipeline.  Reports
-frames/sec (camera budget: 15 fps) and the stage breakdown.
+Simulated RealSense frame (720×1280 organized cloud) → ROI crop → voxel
+decimate (host) → one fused device program: outlier removal → RANSAC
+plane seg → center → BPS encode → sample N grasps → score → top-10.
+Reports frames/sec (camera budget: 15 fps), serial AND double-buffered
+(host prep of frame N+1 overlapped with device execution of frame N —
+sustained rate bounded by max(host, device), not their sum).
+
+Families (``--family``):
+  gan      — folded cGAN tail, 10k samples (the round-2 configuration)
+  diffusion— DDIM-kernel sampler, 1000 samples
+  guided   — evaluator-guided DDIM-10 (the production 0.980-true-success
+             recipe, runs/best_pipeline.json), 1000 samples
 
 Not the driver metric (see bench.py); run manually for the serving story.
 """
+import argparse
 import json
 import time
 
@@ -24,7 +33,45 @@ def make_frame(rng, H=720, W=1280):
     return cloud
 
 
+def build_pipeline(family: str):
+    import jax
+
+    from dexgangrasp_tpu.apps.realtime import RealtimeConfig, RealtimePipeline
+    from dexgangrasp_tpu.engine.pipeline import GraspEngine
+    from dexgangrasp_tpu.models.networks import init_dexgan, init_evaluator
+
+    roi = np.zeros((720, 1280), bool)
+    roi[200:630, 400:900] = True
+    base_T_cam = np.eye(4)
+    base_T_cam[:3, :3] = np.diag([1, -1, -1])
+    base_T_cam[:3, 3] = [0, 0, 1.5]
+
+    if family == "gan":
+        n_samples = 10000
+        (_, gp, gs), _ = init_dexgan(jax.random.PRNGKey(0))
+        _, ep, es = init_evaluator(jax.random.PRNGKey(1))
+        engine = GraspEngine(gp, gs, ep, es, cloud_pad=16384)
+    else:
+        from dexgangrasp_tpu.engine.diffusion_pipeline import DiffusionEngine
+
+        n_samples = 1000
+        engine = DiffusionEngine.from_checkpoints(
+            None, ddim_steps=10,
+            guidance_scale=10.0 if family == "guided" else 0.0,
+            use_ddim_kernel=(jax.devices()[0].platform == "tpu"))
+    cfg = RealtimeConfig(base_T_cam=base_T_cam, flange_T_palm=np.eye(4),
+                         roi_mask=roi, n_samples=n_samples, num_grasps=10)
+    return RealtimePipeline(engine, cfg)
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", choices=("gan", "diffusion", "guided"),
+                    default="gan")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--out", default=None, help="append JSON line here")
+    args = ap.parse_args()
+
     import jax
 
     try:
@@ -34,76 +81,46 @@ def main():
         pass
 
     from dexgangrasp_tpu import native
-    from dexgangrasp_tpu.apps.realtime import RealtimeConfig, RealtimePipeline
-    from dexgangrasp_tpu.engine.pipeline import GraspEngine
-    from dexgangrasp_tpu.models.networks import init_dexgan, init_evaluator
-    from dexgangrasp_tpu.utils.timing import StageTimer
 
-    (_, gp, gs), _ = init_dexgan(jax.random.PRNGKey(0))
-    _, ep, es = init_evaluator(jax.random.PRNGKey(1))
-    engine = GraspEngine(gp, gs, ep, es, cloud_pad=16384)
+    pipe = build_pipeline(args.family)
 
     rng = np.random.default_rng(0)
     frame = make_frame(rng)
-    roi = np.zeros(frame.shape[:2], bool)
-    roi[200:630, 400:900] = True
-    base_T_cam = np.eye(4)
-    base_T_cam[:3, :3] = np.diag([1, -1, -1])
-    base_T_cam[:3, 3] = [0, 0, 1.5]
-    n_samples, top_k = 10000, 10
+    # voxel 6 mm measured best in the round-2 voxel×pad study
+    pad_n, voxel = 8192, 0.006
 
-    timer = StageTimer()
-    use_native = native.available()
+    # warmup/compile
+    pipe.step_fused(cloud=frame, pad_n=pad_n, voxel=voxel, seed=0)
 
-    import jax
-    import jax.numpy as jnp
-
-    from dexgangrasp_tpu.engine.frame_pipeline import frame_to_grasps
-    from dexgangrasp_tpu.ops.bps import load_basis, pad_cloud
-
-    PAD_N = 8192
-    basis = jnp.asarray(load_basis())
-
-    # the fused per-grasp-chain Pallas kernel runs the generator→evaluator
-    # tail in VMEM (ops/grasp_chain.py) — TPU only.  DEXGG_NO_CHAIN=1
-    # A/Bs the XLA tail (measured tie: the frame program is dominated by
-    # segmentation + BPS encode, not the 10k-grasp MLP tail).
-    import os as _os
-
-    use_chain = (jax.devices()[0].platform == "tpu"
-                 and _os.environ.get("DEXGG_NO_CHAIN") != "1")
-
-    def one_frame(seed):
-        with timer.stage("roi+voxel (host)"):
-            pts = frame[roi]
-            # decimate ~215k → ≤16k points; 6 mm voxels measured best in the
-            # voxel×pad parameter study (same fps as 4 mm at half the pad)
-            pts = native.voxel_downsample(pts, 0.006)
-            n_valid = min(pts.shape[0], PAD_N)
-            padded = pad_cloud(pts, PAD_N)
-        with timer.stage("frame_to_grasps (one device program)"):
-            g, center, n_obj = frame_to_grasps(
-                engine.gen_folded, engine.eva_folded, basis,
-                jnp.asarray(padded), jnp.asarray(n_valid),
-                jax.random.PRNGKey(seed), n_samples=n_samples, top_k=top_k,
-                use_chain_kernel=use_chain)
-            # materialize top-k to count true completion
-            _ = np.asarray(g.score), np.asarray(g.transl)
-        return g
-
-    one_frame(0)  # warmup/compile
-    timer.totals.clear()
-    timer.counts.clear()
-    iters = 10
+    # serial: host prep + device program back to back per frame
     t0 = time.perf_counter()
-    for i in range(iters):
-        one_frame(i + 1)
-    dt = (time.perf_counter() - t0) / iters
-    print(timer.report())
-    print(json.dumps({"metric": "closed_loop_fps", "value": round(1 / dt, 2),
-                      "unit": "frames/s", "vs_baseline": round(1 / dt / 15, 3),
-                      "native_host_ops": use_native,
-                      "chain_kernel": use_chain}))
+    for i in range(args.iters):
+        pipe.step_fused(cloud=frame, pad_n=pad_n, voxel=voxel, seed=i + 1)
+    dt_serial = (time.perf_counter() - t0) / args.iters
+
+    # overlapped: double-buffered (VERDICT r2 next-3)
+    t0 = time.perf_counter()
+    n_done = sum(1 for _ in pipe.run_fused([frame] * args.iters,
+                                           pad_n=pad_n, voxel=voxel))
+    dt_overlap = (time.perf_counter() - t0) / n_done
+
+    # host-prep-only cost, for the max(host, device) bound
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        pipe._prep_frame(frame, pad_n, voxel)
+    dt_host = (time.perf_counter() - t0) / args.iters
+
+    fps = 1 / dt_overlap
+    result = {"metric": "closed_loop_fps", "value": round(fps, 2),
+              "unit": "frames/s", "vs_baseline": round(fps / 15, 3),
+              "family": args.family,
+              "serial_fps": round(1 / dt_serial, 2),
+              "host_prep_ms": round(dt_host * 1000, 2),
+              "native_host_ops": native.available()}
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(json.dumps(result) + "\n")
 
 
 if __name__ == "__main__":

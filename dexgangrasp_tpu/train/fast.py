@@ -292,6 +292,94 @@ def diffusion_train_chunk(trainer, ts, table: Dict[str, jax.Array],
     return jax.lax.scan(body, ts, jax.random.split(key, steps))
 
 
+def build_pointnet_table(ds, repeats: int = 1,
+                         seed: int = 0) -> Dict[str, np.ndarray]:
+    """Materialize the PointNet evaluator index (data/pcd_dataset.py) into
+    flat arrays: unique normalized clouds (V, 1024, 3) + per-row
+    ``cloud_idx`` gathers.  ``repeats`` replays the index with fresh grasp
+    draws — the device-resident stand-in for the reference's per-epoch
+    re-sampling (each epoch draws new grasps per row,
+    ``dexevaluator_data_set.py:177-316``)."""
+    rng = np.random.default_rng(seed)
+    ds.rng = rng  # _assemble draws grasps from this
+    uniq = sorted(set(ds.pcd_paths))
+    pos = {p: i for i, p in enumerate(uniq)}
+    clouds = np.stack([ds._cloud(p) for p in uniq]).astype(np.float32)
+    M = len(ds)
+    cloud_idx = np.fromiter((pos[p] for p in ds.pcd_paths), np.int32, M)
+    rows = {"rot9": [], "transl": [], "label": []}
+    for _ in range(repeats):
+        b = ds._assemble(np.arange(M))
+        rows["rot9"].append(b["rot_matrix"].reshape(M, 9))
+        rows["transl"].append(b["transl"])
+        rows["label"].append(b["label"])
+    return {"clouds": clouds,
+            "cloud_idx": np.tile(cloud_idx, repeats),
+            "rot9": np.concatenate(rows["rot9"]).astype(np.float32),
+            "transl": np.concatenate(rows["transl"]).astype(np.float32),
+            "label": np.concatenate(rows["label"]).astype(np.float32)}
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("trainer", "steps", "batch_size", "mesh"))
+def pointnet_train_chunk(trainer, ts, table: Dict[str, jax.Array],
+                         key: jax.Array, steps: int, batch_size: int,
+                         mesh=None):
+    """K PointNet evaluator steps in one program.  ``mesh``: see
+    evaluator_train_chunk — dp-sharded scan interior."""
+    M = table["cloud_idx"].shape[0]
+
+    def body(ts, k):
+        rows = jax.random.randint(k, (batch_size,), 0, M)
+        batch = _constrain_dp(
+            {"pcd_array": table["clouds"][table["cloud_idx"][rows]],
+             "rot_matrix": table["rot9"][rows].reshape(batch_size, 3, 3),
+             "transl": table["transl"][rows],
+             "label": table["label"][rows]}, mesh)
+        ts, logs = trainer.train_step_body(ts, batch)
+        return ts, logs["total_loss_eva"]
+
+    return jax.lax.scan(body, ts, jax.random.split(key, steps))
+
+
+@functools.partial(jax.jit, static_argnames=("trainer", "batch_size"))
+def pointnet_scores(trainer, params, state, table: Dict[str, jax.Array],
+                    batch_size: int = 2048) -> jax.Array:
+    """Eval-mode success probabilities for every PointNet table row."""
+    M = table["cloud_idx"].shape[0]
+    nb = -(-M // batch_size)
+    rows = jnp.arange(nb * batch_size) % M
+
+    def body(_, rws):
+        pts = table["clouds"][table["cloud_idx"][rws]]
+        p, _s = trainer.model.apply(
+            params, state, pts, table["rot9"][rws], table["transl"][rws],
+            train=False)
+        return 0, p[:, 0]
+
+    _, out = jax.lax.scan(body, 0, rows.reshape(nb, batch_size))
+    return out.reshape(-1)[:M]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("trainer", "steps", "batch_size", "mesh"))
+def vae_train_chunk(trainer, ts, table: Dict[str, jax.Array],
+                    key: jax.Array, steps: int, batch_size: int, mesh=None):
+    """K cVAE steps in one program (device-resident counterpart of the
+    host loop in train/families.py:train_vae).  ``mesh``: see
+    evaluator_train_chunk — dp-sharded scan interior."""
+    M = table["bps_idx"].shape[0]
+
+    def body(ts, k):
+        k_rows, k_step = jax.random.split(k)
+        rows = jax.random.randint(k_rows, (batch_size,), 0, M)
+        ts, logs = trainer.train_step_body(
+            ts, _gather_batch(table, rows, mesh), k_step)
+        return ts, logs["total_loss_vae"]
+
+    return jax.lax.scan(body, ts, jax.random.split(key, steps))
+
+
 @functools.partial(jax.jit, static_argnames=("trainer", "batch_size",
                                              "mesh"))
 def evaluator_scores(trainer: GanTrainer, params, state,

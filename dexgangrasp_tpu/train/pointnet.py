@@ -44,6 +44,13 @@ class PointNetTrainer:
     @functools.partial(jax.jit, static_argnames=("self",))
     def train_step(self, ts: PointNetTrainState, batch: Dict[str, jax.Array]
                    ) -> Tuple[PointNetTrainState, Dict]:
+        return self.train_step_body(ts, batch)
+
+    def train_step_body(self, ts: PointNetTrainState,
+                        batch: Dict[str, jax.Array]
+                        ) -> Tuple[PointNetTrainState, Dict]:
+        """Unjitted step body — traced by ``train_step`` per batch or by
+        ``train/fast.pointnet_train_chunk``'s lax.scan."""
         pts = batch["pcd_array"].astype(jnp.float32)
         n = pts.shape[0]
         rot = batch["rot_matrix"].astype(jnp.float32).reshape(n, 9)

@@ -47,6 +47,13 @@ class VaeTrainer:
     @functools.partial(jax.jit, static_argnames=("self",))
     def train_step(self, ts: VaeTrainState, batch: Dict[str, jax.Array],
                    key: jax.Array) -> Tuple[VaeTrainState, Dict]:
+        return self.train_step_body(ts, batch, key)
+
+    def train_step_body(self, ts: VaeTrainState, batch: Dict[str, jax.Array],
+                        key: jax.Array) -> Tuple[VaeTrainState, Dict]:
+        """Unjitted step body — traced inline by ``train_step`` per batch
+        or by ``train/fast.vae_train_chunk``'s lax.scan (the device-
+        resident multi-step path)."""
         from dexgangrasp_tpu.core.rotations import ortho6d_from_rot_matrix
 
         bps = batch["bps_object"].astype(jnp.float32)
