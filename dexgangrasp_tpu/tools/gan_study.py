@@ -175,9 +175,22 @@ def main():
     ap.add_argument("--out", default="runs/gan_study")
     ap.add_argument("--eva", default=None, help="trained evaluator .npz")
     ap.add_argument("--magd-every", type=int, default=0)
+    ap.add_argument("--bf16-rescue", action="store_true",
+                    help="VERDICT r2 next-9 sweep: f32 vs full-bf16 vs "
+                         "partial precision (G-only / D-only bf16), "
+                         "identical steps/data, MAGD-compared")
     args = ap.parse_args()
+    configs = None
+    if args.bf16_rescue:
+        configs = {
+            "f32": {},
+            "bf16": {"compute_dtype": "bfloat16"},
+            "bf16_gen_only": {"compute_dtype": "bfloat16_gen"},
+            "bf16_disc_only": {"compute_dtype": "bfloat16_disc"},
+        }
     run_gan_study(args.data_dir, args.steps, args.batch_size, args.out,
-                  eva_ckpt=args.eva, magd_every=args.magd_every)
+                  eva_ckpt=args.eva, magd_every=args.magd_every,
+                  configs=configs)
 
 
 if __name__ == "__main__":

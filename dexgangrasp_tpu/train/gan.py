@@ -100,6 +100,10 @@ class TrainConfig:
     # network fwd/bwd (the cast lives inside the loss fns so grads flow to
     # f32 leaves); BN running stats stay f32 (the EMA update promotes).
     # Losses/reductions are f32.  Default 'float32' keeps torch parity.
+    # Partial-precision probes for the bf16-GAN quality gap (VERDICT r2
+    # next-9; round-2 isolated the sensitivity to the gradient path, not
+    # BN stats): 'bfloat16_gen' runs only the generator in bf16 (D f32),
+    # 'bfloat16_disc' only the discriminator.
     compute_dtype: str = "float32"
 
 
@@ -309,16 +313,21 @@ class GanTrainer:
 
         # mixed precision: network fwd/bwd in bf16 via casts inside the
         # loss fns (f32 masters; BN state EMA promotes back to f32);
-        # rotations/losses/reductions stay f32
-        cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-        _c = ((lambda t: jax.tree.map(lambda a: a.astype(cdt), t))
-              if cdt else (lambda t: t))
+        # rotations/losses/reductions stay f32.  _cg / _cd cast the
+        # generator / discriminator paths independently so the partial-
+        # precision modes can isolate which net's gradients carry the
+        # bf16 quality gap.
+        gen_bf16 = cfg.compute_dtype in ("bfloat16", "bfloat16_gen")
+        disc_bf16 = cfg.compute_dtype in ("bfloat16", "bfloat16_disc")
+        _half = lambda t: jax.tree.map(lambda a: a.astype(jnp.bfloat16), t)
+        _cg = _half if gen_bf16 else (lambda t: t)
+        _cd = _half if disc_bf16 else (lambda t: t)
         _f = ((lambda t: jax.tree.map(lambda a: a.astype(jnp.float32), t))
-              if cdt else (lambda t: t))
+              if (gen_bf16 or disc_bf16) else (lambda t: t))
 
         # 1. generator forward (train-mode BN), detached for the D phase
         y_fake, gen_state_after = self.gen.apply(
-            _c(ts.gen_params), ts.gen_state, _c(z), _c(bps), train=True)
+            _cg(ts.gen_params), ts.gen_state, _cg(z), _cg(bps), train=True)
         y_fake = _f(y_fake)
         gen_state_after = _f(gen_state_after)
         fake_rot_flat = jax.lax.stop_gradient(
@@ -333,14 +342,14 @@ class GanTrainer:
         ret_logits = not cfg.is_wgan
 
         def disc_loss_fn(disc_params):
-            dp = _c(disc_params)
+            dp = _cd(disc_params)
             real_score, ds1 = self.disc.apply(
-                dp, ts.disc_state, _c(bps), _c(real_rot_flat),
-                _c(real_transl), _c(real_joints), train=True,
+                dp, ts.disc_state, _cd(bps), _cd(real_rot_flat),
+                _cd(real_transl), _cd(real_joints), train=True,
                 return_logits=ret_logits)
             fake_score, ds2 = self.disc.apply(
-                dp, ds1, _c(bps), _c(fake_rot_flat), _c(fake_transl),
-                _c(fake_joints), train=True, return_logits=ret_logits)
+                dp, ds1, _cd(bps), _cd(fake_rot_flat), _cd(fake_transl),
+                _cd(fake_joints), train=True, return_logits=ret_logits)
             gp = (self._gradient_penalty(
                 dp, ts.disc_state, kgp, bps,
                 real_rot_flat, real_transl, real_joints,
@@ -359,13 +368,13 @@ class GanTrainer:
         # 4. generator update (every gen_train_freq steps — host decides)
         if is_train_gen:
             def gen_loss_fn(gen_params):
-                yf, gs = self.gen.apply(_c(gen_params), ts.gen_state, _c(z),
-                                        _c(bps), train=True)
+                yf, gs = self.gen.apply(_cg(gen_params), ts.gen_state,
+                                        _cg(z), _cg(bps), train=True)
                 yf, gs = _f(yf), _f(gs)
                 rot_mat_flat = rot_matrix_from_ortho6d(yf.rot_6d).reshape(n, 9)
                 fake_score, ds3 = self.disc.apply(
-                    _c(disc_params), disc_state_after, _c(bps),
-                    _c(rot_mat_flat), _c(yf.transl), _c(yf.joint_conf),
+                    _cd(disc_params), disc_state_after, _cd(bps),
+                    _cd(rot_mat_flat), _cd(yf.transl), _cd(yf.joint_conf),
                     train=True, return_logits=not cfg.is_wgan)
                 fake_score, ds3 = _f(fake_score), _f(ds3)
                 if cfg.is_wgan:
@@ -390,8 +399,8 @@ class GanTrainer:
                     z2 = jax.random.normal(
                         jax.random.fold_in(key, 0x6d73),  # 'ms'
                         z.shape, jnp.float32)
-                    yf2, _ = self.gen.apply(_c(gen_params), ts.gen_state,
-                                            _c(z2), _c(bps), train=True)
+                    yf2, _ = self.gen.apply(_cg(gen_params), ts.gen_state,
+                                            _cg(z2), _cg(bps), train=True)
                     yf2 = _f(yf2)
                     g1 = jnp.concatenate(
                         [yf.rot_6d, yf.transl, yf.joint_conf], axis=-1)
