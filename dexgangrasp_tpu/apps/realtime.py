@@ -143,20 +143,19 @@ class RealtimePipeline:
                 "bps": np.asarray(bps)}
 
     def _prep_frame(self, cloud: np.ndarray, pad_n: int, voxel: float):
-        """Host half of a fused frame: ROI crop + z-clip + voxel decimate +
-        pad.  Returns (padded (pad_n,3), n_valid)."""
+        """Host half of a fused frame: ROI crop + finite/z filter + voxel
+        decimate + subsample + pad.  Organized frames run as ONE native
+        pass (native/dexgg_host.cpp dexgg_prep_frame — a multi-pass numpy
+        chain over ~200k points was a large slice of the camera budget).
+        Returns (padded (pad_n, 3), n_valid)."""
         from dexgangrasp_tpu import native
-        from dexgangrasp_tpu.ops.bps import pad_cloud
+        from dexgangrasp_tpu.ops.bps import PAD_VALUE, pad_cloud
 
         cfg = self.cfg
         if cloud.ndim == 3:
-            mask = (cfg.roi_mask if cfg.roi_mask is not None
-                    else np.ones(cloud.shape[:2], bool))
-            pts = cloud[mask]
-            pts = pts[np.isfinite(pts).all(axis=1)]
-        else:
-            pts = cloud
-        pts = pts[(pts[:, 2] > 0) & (pts[:, 2] < cfg.z_clip)]
+            return native.prep_frame(cloud, cfg.roi_mask, cfg.z_clip,
+                                     voxel, pad_n, PAD_VALUE)
+        pts = cloud[(cloud[:, 2] > 0) & (cloud[:, 2] < cfg.z_clip)]
         pts = native.voxel_downsample(pts, voxel)
         return pad_cloud(pts, pad_n), min(pts.shape[0], pad_n)
 

@@ -48,6 +48,18 @@ def _load() -> Optional[ctypes.CDLL]:
                                                ctypes.c_float, c_f32p,
                                                ctypes.c_int64]
         lib.dexgg_voxel_downsample.restype = ctypes.c_int64
+        try:
+            lib.dexgg_prep_frame.argtypes = [
+                c_f32p, ctypes.c_int64, ctypes.c_int64,  # frame, H, W
+                ctypes.c_int64, ctypes.c_int64,          # r0, r1
+                ctypes.c_int64, ctypes.c_int64,          # c0, c1
+                c_u8p,                                   # roi mask or NULL
+                ctypes.c_float, ctypes.c_float,          # zmin, zmax
+                ctypes.c_float,                          # voxel
+                c_f32p, ctypes.c_int64, ctypes.c_float]  # out, target, pad
+            lib.dexgg_prep_frame.restype = ctypes.c_int64
+        except AttributeError:  # stale .so without the fused op
+            pass
         _lib = lib
         return lib
     return None
@@ -141,6 +153,51 @@ def voxel_downsample(points: np.ndarray, voxel: float) -> np.ndarray:
     n = lib.dexgg_voxel_downsample(_fp(points), points.shape[0], voxel,
                                    _fp(out), points.shape[0])
     return out[:n].copy()
+
+
+def prep_frame(frame: np.ndarray, roi_mask: Optional[np.ndarray],
+               z_clip: float, voxel: float, target: int,
+               pad_value: float) -> Tuple[np.ndarray, int]:
+    """The whole host half of a fused camera frame in one native pass:
+    organized (H, W, 3) frame → ROI crop → finite+z filter → voxel
+    downsample → deterministic subsample to ``target`` → PAD_VALUE fill.
+
+    Returns (padded (target, 3) float32, n_valid).  Matches the composed
+    numpy path (crop → clip → voxel_downsample → pad_cloud) up to the
+    subsample draw.  Falls back to that composition without the lib."""
+    lib = _load()
+    frame = np.ascontiguousarray(frame, np.float32)
+    H, W = frame.shape[:2]
+    if roi_mask is not None:
+        rows = np.flatnonzero(roi_mask.any(axis=1))
+        cols = np.flatnonzero(roi_mask.any(axis=0))
+        r0, r1 = (int(rows[0]), int(rows[-1]) + 1) if rows.size else (0, 0)
+        c0, c1 = (int(cols[0]), int(cols[-1]) + 1) if cols.size else (0, 0)
+    else:
+        r0, r1, c0, c1 = 0, H, 0, W
+    if lib is None or not hasattr(lib, "dexgg_prep_frame"):
+        pts = frame[roi_mask] if roi_mask is not None \
+            else frame.reshape(-1, 3)
+        pts = pts[np.isfinite(pts).all(axis=1)]
+        pts = pts[(pts[:, 2] > 0) & (pts[:, 2] < z_clip)]
+        pts = voxel_downsample(pts, voxel)
+        n = pts.shape[0]
+        if n > target:
+            idx = np.sort(np.random.default_rng(n).choice(
+                n, target, replace=False))
+            pts, n = pts[idx], target
+        out = np.full((target, 3), pad_value, np.float32)
+        out[:n] = pts
+        return out, n
+    out = np.empty((target, 3), np.float32)
+    mask_arg = None
+    if roi_mask is not None:
+        mask_u8 = np.ascontiguousarray(roi_mask, np.uint8)  # keep alive
+        mask_arg = _u8p(mask_u8)
+    n = lib.dexgg_prep_frame(_fp(frame), H, W, r0, r1, c0, c1, mask_arg,
+                             0.0, z_clip, voxel, _fp(out), target,
+                             pad_value)
+    return out, int(n)
 
 
 def box_crop_mask(points: np.ndarray, lo, hi) -> np.ndarray:

@@ -284,6 +284,93 @@ int64_t dexgg_voxel_downsample(const float* pts, int64_t N, float voxel,
   return n_out;
 }
 
+// ------------------------------------------------------ frame prep -------
+// The whole host half of a fused camera frame in ONE pass over the ROI:
+// organized (H,W,3) frame -> ROI crop (rect + optional boolean mask) ->
+// finite + z-window filter -> voxel-hash downsample -> cap at `target`
+// via a deterministic uniform subsample (seeded by the kept count, same
+// contract as ops/bps.pad_cloud) -> PAD_VALUE-fill to exactly `target`.
+// Replaces ~4 numpy passes + 2 temporaries over ~200k points.
+// Returns n_valid (<= target).
+int64_t dexgg_prep_frame(const float* frame, int64_t H, int64_t W,
+                         int64_t r0, int64_t r1, int64_t c0, int64_t c1,
+                         const uint8_t* roi_mask /* nullable, H*W */,
+                         float zmin, float zmax, float voxel,
+                         float* out, int64_t target, float pad_value) {
+  r0 = std::max<int64_t>(0, r0);
+  c0 = std::max<int64_t>(0, c0);
+  r1 = std::min(H, r1);
+  c1 = std::min(W, c1);
+  std::vector<float> kept;
+  kept.reserve(16384 * 3);
+  // voxel bounds from the z-window'd ROI (cheap first pass over the rect)
+  float minv[3] = {1e30f, 1e30f, 1e30f};
+  for (int64_t r = r0; r < r1; ++r)
+    for (int64_t c = c0; c < c1; ++c) {
+      if (roi_mask && !roi_mask[r * W + c]) continue;
+      const float* p = frame + 3 * (r * W + c);
+      if (!std::isfinite(p[0]) || !std::isfinite(p[1]) ||
+          !std::isfinite(p[2]))
+        continue;
+      if (p[2] <= zmin || p[2] >= zmax) continue;
+      minv[0] = std::min(minv[0], p[0]);
+      minv[1] = std::min(minv[1], p[1]);
+      minv[2] = std::min(minv[2], p[2]);
+    }
+  const int64_t roi_n = (r1 - r0) * (c1 - c0);
+  int64_t cap = 1;
+  while (cap < 2 * std::max<int64_t>(roi_n, 16)) cap <<= 1;
+  std::vector<uint64_t> table(static_cast<size_t>(cap), ~0ull);
+  const float inv_voxel = voxel > 0 ? 1.0f / voxel : 0.0f;
+  for (int64_t r = r0; r < r1; ++r)
+    for (int64_t c = c0; c < c1; ++c) {
+      if (roi_mask && !roi_mask[r * W + c]) continue;
+      const float* p = frame + 3 * (r * W + c);
+      if (!std::isfinite(p[0]) || !std::isfinite(p[1]) ||
+          !std::isfinite(p[2]))
+        continue;
+      if (p[2] <= zmin || p[2] >= zmax) continue;
+      if (voxel > 0) {
+        const uint64_t vx = (uint64_t)((p[0] - minv[0]) * inv_voxel);
+        const uint64_t vy = (uint64_t)((p[1] - minv[1]) * inv_voxel);
+        const uint64_t vz = (uint64_t)((p[2] - minv[2]) * inv_voxel);
+        const uint64_t keyv = (vx * 73856093ull) ^ (vy * 19349663ull) ^
+                              (vz * 83492791ull);
+        const uint64_t packed = (vx << 42) | (vy << 21) | vz;
+        uint64_t slot = keyv & (uint64_t)(cap - 1);
+        bool fresh = true;
+        while (table[slot] != ~0ull) {
+          if (table[slot] == packed) {
+            fresh = false;
+            break;
+          }
+          slot = (slot + 1) & (uint64_t)(cap - 1);
+        }
+        if (!fresh) continue;
+        table[slot] = packed;
+      }
+      kept.push_back(p[0]);
+      kept.push_back(p[1]);
+      kept.push_back(p[2]);
+    }
+  int64_t n = (int64_t)kept.size() / 3;
+  if (n > target) {
+    // deterministic partial Fisher-Yates seeded by n (pad_cloud contract)
+    std::mt19937_64 rng((uint64_t)n);
+    for (int64_t i = 0; i < target; ++i) {
+      std::uniform_int_distribution<int64_t> pick(i, n - 1);
+      const int64_t j = pick(rng);
+      for (int k = 0; k < 3; ++k) std::swap(kept[3 * i + k], kept[3 * j + k]);
+    }
+    n = target;
+  }
+  std::memcpy(out, kept.data(), (size_t)(3 * n) * sizeof(float));
+  for (int64_t i = n; i < target; ++i) {
+    out[3 * i] = out[3 * i + 1] = out[3 * i + 2] = pad_value;
+  }
+  return n;
+}
+
 // ------------------------------------------------------ workspace crop ----
 // keep_mask[i] = all(lo <= p <= hi); fused box filter for ROI cropping
 void dexgg_box_crop_mask(const float* pts, int64_t N, const float* lo,
