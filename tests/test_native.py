@@ -71,3 +71,58 @@ def test_native_box_crop():
     mask = native.box_crop_mask(pts, [-0.2] * 3, [0.2] * 3)
     ref = (np.abs(pts) <= 0.2).all(axis=1)
     np.testing.assert_array_equal(mask, ref)
+
+
+def test_native_prep_frame_matches_numpy_fallback():
+    """Fused native frame prep == composed numpy chain (crop → finite/z →
+    voxel → subsample → pad): same kept-point SET and same n_valid (the
+    subsample permutation may differ; both draw deterministically)."""
+    from dexgangrasp_tpu.ops.bps import PAD_VALUE
+
+    rng = np.random.default_rng(3)
+    H, W = 120, 160
+    xs, ys = np.meshgrid(np.linspace(-0.5, 0.5, W),
+                         np.linspace(-0.4, 0.4, H))
+    frame = np.stack([xs, ys, np.full((H, W), 0.9)],
+                     axis=-1).astype(np.float32)
+    frame[40:80, 50:90, 2] -= 0.1
+    frame += rng.normal(size=frame.shape).astype(np.float32) * 0.001
+    frame[3, 3] = np.nan           # finite filter must drop
+    frame[5, 5, 2] = 2.0           # z-clip must drop
+    roi = np.zeros((H, W), bool)
+    roi[20:110, 30:150] = True
+
+    pad_n = 512  # force the subsample branch
+    got, n = native.prep_frame(frame, roi, 1.2, 0.006, pad_n, PAD_VALUE)
+    lib = native._lib
+    native._lib = None
+    try:
+        ref, n_ref = native.prep_frame(frame, roi, 1.2, 0.006, pad_n,
+                                       PAD_VALUE)
+    finally:
+        native._lib = lib
+    assert n == n_ref
+    assert got.shape == (pad_n, 3)
+    assert (got[n:] == PAD_VALUE).all()
+    if lib is not None:  # native really ran
+        # the CANDIDATE pools (no subsample cap) must match exactly
+        big = 1 << 17
+        pool_nat, k1 = native.prep_frame(frame, roi, 1.2, 0.006, big,
+                                         PAD_VALUE)
+        native._lib = None
+        try:
+            pool_np, k2 = native.prep_frame(frame, roi, 1.2, 0.006, big,
+                                            PAD_VALUE)
+        finally:
+            native._lib = lib
+        assert k1 == k2
+        sa = {tuple(r) for r in pool_nat[:k1].tolist()}
+        sb = {tuple(r) for r in pool_np[:k2].tolist()}
+        assert sa == sb
+        # the capped subsample is a subset of that pool
+        assert {tuple(r) for r in got[:n].tolist()} <= sa
+        # determinism
+        got2, n2 = native.prep_frame(frame, roi, 1.2, 0.006, pad_n,
+                                     PAD_VALUE)
+        assert n2 == n
+        np.testing.assert_array_equal(got, got2)
