@@ -66,6 +66,53 @@ def run(gen_ckpt: str, eva_ckpt: str, n: int = 10000, top_k: int = 10,
         "served_floor_score_gap_max": float(np.max(score_gap)),
         "gen_ckpt": gen_ckpt, "eva_ckpt": eva_ckpt,
     }
+
+    # The cGAN is mode-collapsed (docs/RESULTS.md): thousands of near-
+    # identical grasps tie on score, making INDEX recall meaningless there
+    # (the score-gap metric is the operational one).  The diffusion
+    # generator has real spread — measure index recall where it means
+    # something.
+    diff_ckpt = "runs/diffusion_xl/40000_diffusion_net.npz"
+    if os.path.isfile(diff_ckpt):
+        from dexgangrasp_tpu.engine.diffusion_pipeline import (
+            sample_and_topk_diffusion,
+        )
+        from dexgangrasp_tpu.models.diffusion import (
+            DexDiffuser,
+            GraspNormalizer,
+        )
+        from dexgangrasp_tpu.train.checkpoints import load_pytrees
+
+        trees, _ = load_pytrees(diff_ckpt)
+        model = DexDiffuser()
+        norm = GraspNormalizer(mean=trees["normalizer_mean"],
+                               std=trees["normalizer_std"])
+
+        @jax.jit
+        def diff_both(bps, key):
+            ga = sample_and_topk_diffusion(model, trees["params"],
+                                           eva_folded, norm, bps, key,
+                                           1000, top_k, steps=10)
+            ge = sample_and_topk_diffusion(model, trees["params"],
+                                           eva_folded, norm, bps, key,
+                                           1000, top_k, steps=10,
+                                           exact=True)
+            return ga.score, ge.score
+
+        drecalls, dgaps = [], []
+        for i in range(min(n_objects, 32)):
+            bps = jnp.asarray(
+                rng.uniform(0, 0.2, 4096).astype(np.float32))
+            sa, se = jax.device_get(diff_both(bps, jax.random.PRNGKey(i)))
+            # same key → identical candidate set; compare by score values
+            drecalls.append(
+                len(set(np.round(sa, 7)) & set(np.round(se, 7)))
+                / top_k)
+            dgaps.append(float(se.min() - sa.min()))
+        report["diffusion_recall_at_10_mean"] = float(np.mean(drecalls))
+        report["diffusion_recall_at_10_min"] = float(np.min(drecalls))
+        report["diffusion_served_floor_score_gap_max"] = float(
+            np.max(dgaps))
     print(json.dumps(report, indent=1))
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
