@@ -49,6 +49,14 @@ def train_main():
                     help="generator family (gan = reference architecture)")
     ap.add_argument("--dp", action="store_true",
                     help="data-parallel over all visible devices")
+    ap.add_argument("--fast", action="store_true",
+                    help="device-resident scan trainer (train/fast.py): "
+                         "whole dataset in HBM, K optimizer steps per XLA "
+                         "program; with --dp the scan interior shards over "
+                         "the mesh (the multi-chip workhorse path)")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="--fast: total optimizer steps (default: "
+                         "num_epochs x rows / batch_size)")
     args = ap.parse_args()
 
     from dexgangrasp_tpu.utils.config import Config
@@ -91,11 +99,85 @@ def train_main():
         mesh = data_parallel_mesh()
         print(f"data-parallel mesh over {mesh.devices.size} devices")
 
+    if args.fast:
+        _fast_train(cfg, mesh, args.steps)
+        return
+
     from dexgangrasp_tpu.train.trainer import TrainDriver
 
     driver = TrainDriver(cfg, mesh=mesh)
     final = driver.run()
     print("final eval:", final)
+
+
+def _fast_train(cfg: dict, mesh, steps):
+    """Device-resident chunked training from the product CLI (the path
+    every study tool uses; VERDICT r2 next-1 made it mesh-shardable)."""
+    import numpy as np
+
+    import jax
+
+    from dexgangrasp_tpu.data.datasets import (
+        DexEvaluatorDataSet,
+        DexGeneratorDataSet,
+    )
+    from dexgangrasp_tpu.train import checkpoints as ckpt
+    from dexgangrasp_tpu.train.fast import (
+        build_evaluator_table,
+        build_generator_table,
+        gan_train_chunk,
+        put_table,
+        train_evaluator_fast,
+    )
+    from dexgangrasp_tpu.train.gan import GanTrainer
+    from dexgangrasp_tpu.train.trainer import train_config_from_cfg
+
+    trainer = GanTrainer(train_config_from_cfg(cfg))
+    data_dir = cfg["data_dir"]
+    bs = int(cfg.get("batch_size", 256))
+    seed = int(cfg.get("seed", 0))
+    save_dir = cfg["save_dir"]
+
+    if cfg.get("train_ffhgenerator", True):
+        table = build_generator_table(
+            DexGeneratorDataSet(data_dir, "train", seed=seed))
+        n_steps = steps or max(
+            1, int(cfg.get("num_epochs", 10))
+            * table["bps_idx"].shape[0] // bs)
+        dev = put_table(table, mesh)
+        ts = trainer.init_gan_state(jax.random.PRNGKey(seed))
+        if mesh is not None:
+            from dexgangrasp_tpu.parallel.sharding import replicate
+
+            ts = replicate(ts, mesh)
+        key = jax.random.PRNGKey(seed + 7)
+        done = 0
+        while done < n_steps:
+            n = min(2000, n_steps - done)
+            key, k = jax.random.split(key)
+            ts, logs = gan_train_chunk(
+                trainer, ts, dev, k, n, bs,
+                gen_train_freq=trainer.cfg.gen_train_freq, mesh=mesh)
+            done += n
+            print(f"[gan] step {done}/{n_steps}: "
+                  f"G {float(np.asarray(logs['total_loss_gen']).mean()):.4f}"
+                  f" D {float(np.asarray(logs['total_loss_disc']).mean()):.4f}",
+                  flush=True)
+        print("saved", ckpt.save_gan(save_dir, n_steps, ts))
+
+    if cfg.get("train_ffhevaluator", False):
+        train_tab = build_evaluator_table(
+            DexEvaluatorDataSet(data_dir, "train", seed=seed), seed=seed)
+        eval_tab = build_evaluator_table(
+            DexEvaluatorDataSet(data_dir, "eval", seed=seed), seed=seed)
+        n_steps = steps or max(
+            1, int(cfg.get("num_epochs", 10))
+            * train_tab["bps_idx"].shape[0] // bs)
+        ts = trainer.init_evaluator_state(jax.random.PRNGKey(seed + 1))
+        ts, history = train_evaluator_fast(
+            trainer, ts, train_tab, eval_tab, total_steps=n_steps,
+            batch_size=bs, seed=seed, mesh=mesh)
+        print("saved", ckpt.save_evaluator(save_dir, n_steps, ts))
 
 
 import math
