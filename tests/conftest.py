@@ -61,6 +61,7 @@ SLOW_TESTS = {
     "test_diffusion_chunk_sharded_matches_single_device",
     # host train drivers end-to-end
     "test_driver_end_to_end_and_resume",
+    "test_cli_fast_train",
     "test_driver_data_parallel_mesh",
     "test_driver_wgan_mode",
     # device-resident fast trainer

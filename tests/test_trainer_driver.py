@@ -78,3 +78,44 @@ def test_driver_data_parallel_mesh(tiny_ds, tmp_path):
     driver = TrainDriver(cfg, mesh=mesh)
     driver.run(num_epochs=1)
     assert int(driver.gan_ts.step) > 0
+
+
+def test_cli_fast_train(tiny_ds, tmp_path, monkeypatch):
+    """`train.py --fast` runs the device-resident scan trainer end to end
+    and writes servable checkpoints (slow tier)."""
+    import sys
+
+    from dexgangrasp_tpu.cli import train_main
+
+    monkeypatch.setattr(sys, "argv", [
+        "train.py", "--fast", "--steps", "6", "--batch-size", "8",
+        "--train-evaluator"])
+    cfg_over = _cfg(tiny_ds, tmp_path)
+    # train_main builds its own Config; patch Config.parse to reuse ours
+    import dexgangrasp_tpu.cli as cli_mod
+
+    class _FakeConfig:
+        def __init__(self, *a, **k):
+            pass
+
+        def parse(self, *a, **k):
+            return cfg_over
+
+    monkeypatch.setattr("dexgangrasp_tpu.utils.config.Config", _FakeConfig)
+    train_main()
+    import os
+
+    files = os.listdir(cfg_over["save_dir"])
+    assert any(f.endswith("_gen_net.npz") for f in files)
+    assert any(f.endswith("_eva_net.npz") for f in files)
+    # checkpoint serves through the engine
+    from dexgangrasp_tpu.engine.pipeline import GraspEngine
+
+    gen = [f for f in files if f.endswith("_gen_net.npz")][0]
+    eva = [f for f in files if f.endswith("_eva_net.npz")][0]
+    eng = GraspEngine.from_checkpoints(
+        os.path.join(cfg_over["save_dir"], gen),
+        os.path.join(cfg_over["save_dir"], eva))
+    g = eng.generate_grasps(np.random.default_rng(0).uniform(
+        0, 0.2, 4096).astype(np.float32), 8, seed=0)
+    assert g["rot_matrix"].shape == (8, 3, 3)
