@@ -324,3 +324,35 @@ def test_visualization_smoke(tmp_path, engine, real_objects_dir):
     p4 = viz.show_refinement_trajectory(
         rng.random((6, 8)), save_path=str(tmp_path / "ref.png"))
     assert os.path.isfile(p4)
+
+
+def test_grasp_service_roundtrip(engine):
+    """The HTTP serving daemon (apps/serve.py): client posts an organized
+    frame, gets goals + top-k grasps; health endpoint reports family;
+    malformed requests get a 400 and the server keeps serving."""
+    from urllib.error import HTTPError
+    from urllib.request import Request, urlopen
+
+    from dexgangrasp_tpu.apps.serve import GraspServer, GraspServiceClient
+
+    cloud = _organized_test_frame()
+    pipe = RealtimePipeline(engine, _realtime_cfg(n_samples=32,
+                                                  num_grasps=3))
+    with GraspServer(pipe, pad_n=2048, voxel=0.004) as srv:
+        client = GraspServiceClient(srv.endpoint)
+        assert client.healthz().startswith("ok gan")
+        out = client(cloud, seed=0)
+        assert out["ok"] is True
+        assert out["rot_matrix"].shape == (3, 3, 3)
+        assert set(out["goals"]["0"]) == {"inter", "pick"}
+        # same seed → same grasps (deterministic serving)
+        out2 = client(cloud, seed=0)
+        np.testing.assert_allclose(out["transl"], out2["transl"], atol=0)
+        # malformed body → 400, server stays alive
+        req = Request(srv.endpoint + "/grasps", data=b"garbage")
+        try:
+            urlopen(req, timeout=10)
+            assert False, "expected HTTPError"
+        except HTTPError as e:
+            assert e.code == 400
+        assert client.healthz().startswith("ok")
