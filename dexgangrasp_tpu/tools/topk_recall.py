@@ -99,18 +99,19 @@ def run(gen_ckpt: str, eva_ckpt: str, n: int = 10000, top_k: int = 10,
                                            exact=True)
             return ga.score, ge.score
 
-        drecalls, dgaps = [], []
+        dvec, dgaps = [], []
         for i in range(min(n_objects, 32)):
             bps = jnp.asarray(
                 rng.uniform(0, 0.2, 4096).astype(np.float32))
             sa, se = jax.device_get(diff_both(bps, jax.random.PRNGKey(i)))
-            # same key → identical candidate set; compare by score values
-            drecalls.append(
-                len(set(np.round(sa, 7)) & set(np.round(se, 7)))
-                / top_k)
+            # same key → identical candidate set.  Scores saturate near
+            # 1.0 on guided/filtered sets, so INDEX sets are tie-fragile;
+            # the operational questions are (a) does the served top-10's
+            # score VECTOR match exact top-10, (b) is the served floor
+            # ever below the exact floor.
+            dvec.append(float(np.max(np.abs(np.sort(sa) - np.sort(se)))))
             dgaps.append(float(se.min() - sa.min()))
-        report["diffusion_recall_at_10_mean"] = float(np.mean(drecalls))
-        report["diffusion_recall_at_10_min"] = float(np.min(drecalls))
+        report["diffusion_topk_score_vec_max_diff"] = float(np.max(dvec))
         report["diffusion_served_floor_score_gap_max"] = float(
             np.max(dgaps))
     print(json.dumps(report, indent=1))
