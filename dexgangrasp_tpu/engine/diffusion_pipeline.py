@@ -125,6 +125,32 @@ def sample_and_score_diffusion(model: DexDiffuser, diff_params: dict,
 
 
 @functools.partial(jax.jit, static_argnames=("model", "n", "steps"))
+def sample_and_score_guided_kernel(model: DexDiffuser, diff_params: dict,
+                                   eva_folded: dict, normalizer,
+                                   bps: jax.Array, key: jax.Array, n: int,
+                                   steps: int = 10,
+                                   guidance_scale: float = 10.0,
+                                   grad_clip: float = 1.0,
+                                   z_offset: float = 0.025) -> Grasps:
+    """The whole guided chain as ONE Pallas kernel (ops/guided_ddim.py):
+    denoiser steps + in-kernel evaluator fwd/VJP guidance + final scoring,
+    weights and intermediates VMEM-resident.  Same contract as
+    ``sample_and_score_guided``; within the guided recursion's on-chip
+    precision envelope of it (tests/test_guided_ddim.py, tools/
+    guided_bench.py)."""
+    from dexgangrasp_tpu.ops.guided_ddim import guided_sample_pallas
+
+    rot, transl, joints, score, g = guided_sample_pallas(
+        model, diff_params, eva_folded, normalizer, bps, key, n,
+        steps=steps, guidance_scale=guidance_scale, grad_clip=grad_clip,
+        z_offset=z_offset)
+    if normalizer is not None:  # Grasps.z carries the denormalized vector
+        g = normalizer.denormalize(g)
+    return Grasps(transl=transl, rot_matrix=rot, joint_conf=joints,
+                  score=score, z=g)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "n", "steps"))
 def sample_and_score_guided(model: DexDiffuser, diff_params: dict,
                             eva_folded: dict, normalizer, bps: jax.Array,
                             key: jax.Array, n: int, steps: int = 50,
@@ -265,7 +291,8 @@ class DiffusionEngine:
                  normalizer=None, model: DexDiffuser = None,
                  basis=None, z_offset: float = 0.025, cloud_pad: int = 8192,
                  ddim_steps: int = 50, guidance_scale: float = 0.0,
-                 use_ddim_kernel=None, cfg_weight: float = 0.0):
+                 use_ddim_kernel=None, cfg_weight: float = 0.0,
+                 use_guided_kernel: bool = False):
         from dexgangrasp_tpu.ops.bps import BPSEncoder
 
         self.model = model or DexDiffuser()
@@ -282,6 +309,9 @@ class DiffusionEngine:
         if use_ddim_kernel is None:
             use_ddim_kernel = jax.default_backend() == "tpu"
         self.use_ddim_kernel = use_ddim_kernel
+        # opt-in: the whole guided chain as one Pallas kernel
+        # (ops/guided_ddim.py; on-chip A/B in tools/guided_bench.py)
+        self.use_guided_kernel = use_guided_kernel
         self.cfg_weight = cfg_weight
         self._key = jax.random.PRNGKey(0)
 
@@ -324,7 +354,9 @@ class DiffusionEngine:
         zo = self.z_offset if z_offset is None else z_offset
         gs = self.guidance_scale if guidance_scale is None else guidance_scale
         if gs:
-            return sample_and_score_guided(
+            fn = (sample_and_score_guided_kernel if self.use_guided_kernel
+                  else sample_and_score_guided)
+            return fn(
                 self.model, self.diff_params, self.eva_folded,
                 self.normalizer, bps, self._next_key(seed), n_samples,
                 steps=self.ddim_steps, guidance_scale=gs, z_offset=zo)

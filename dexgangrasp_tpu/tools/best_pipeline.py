@@ -1,0 +1,94 @@
+"""Production-recipe study: guided DDIM + the reference's 3-stage filter,
+true-success measured against the geometric oracle on every eval view.
+
+This is the reproducible form of the round-2 study behind
+runs/best_pipeline.json (docs/RESULTS.md "Production recipe"): sample
+``--n`` guided grasps per eval view, measure oracle success of the raw
+guided set and of the 3-stage-filtered set ([0.5, 0.75, 0.90] — reference
+``eval.py:274-276`` / ``dexgangrasp_offline.py:190``), and record yield.
+
+Usage:
+    python -m dexgangrasp_tpu.tools.best_pipeline \
+        --data-dir /tmp/dexgg_4x \
+        --diff runs/flagship_4x/40000_diffusion_net.npz \
+        --eva runs/flagship_4x/60000_eva_net.npz \
+        --out runs/flagship_4x/best_pipeline.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def run(data_dir: str, diff_ckpt: str, eva_ckpt: str, out_path: str,
+        n: int = 200, steps: int = 10, scale: float = 10.0,
+        thresh=(0.5, 0.75, 0.90), use_guided_kernel: bool = False,
+        seed: int = 0):
+    from dexgangrasp_tpu.cli import load_engine, run_filter
+    from dexgangrasp_tpu.data.datasets import DexGeneratorDataSet
+    from dexgangrasp_tpu.data.grasp_geometry import grasp_outcomes
+
+    engine = load_engine(diff_ckpt, eva_ckpt,
+                         os.path.join(data_dir, "basis_point_set.npy"),
+                         model="diffusion", guidance_scale=scale)
+    engine.ddim_steps = steps
+    engine.use_ddim_kernel = False
+    engine.use_guided_kernel = use_guided_kernel
+
+    dset = DexGeneratorDataSet(data_dir, "eval")
+    views = sorted(set(dset.bps_paths))
+    rates, frates, passes = [], [], []
+    for bp in views:
+        stem = os.path.split(bp)[1].replace("bps", "pcd").replace(".npy", "")
+        full = np.load(os.path.join(data_dir, "full_pcd", stem + ".npy"))
+        bps = np.load(bp).ravel()
+        g = engine.generate_grasps(bps, n_samples=n, seed=seed)
+        rates.append(float(grasp_outcomes(
+            full, np.asarray(g["transl"]),
+            np.asarray(g["rot_matrix"]))["success"].mean()))
+        try:
+            f, _ = run_filter(engine, bps, g, n, list(thresh), False,
+                              verbose=False)
+            frates.append(float(grasp_outcomes(
+                full, np.asarray(f["transl"]),
+                np.asarray(f["rot_matrix"]))["success"].mean()))
+            passes.append(f["transl"].shape[0] / float(n))
+        except ValueError:  # best grasp below threshold: zero yield view
+            passes.append(0.0)
+
+    rep = {"pipeline": f"guided DDIM-{steps} (scale {scale}) + 3-stage "
+                       "filter",
+           "data_dir": data_dir, "diff_ckpt": diff_ckpt, "eva_ckpt": eva_ckpt,
+           "use_guided_kernel": use_guided_kernel,
+           "guided_oracle": round(float(np.mean(rates)), 4),
+           "guided_filtered_oracle": round(float(np.mean(frates)), 4),
+           "filter_pass": round(float(np.mean(passes)), 4),
+           "n_views": len(views)}
+    print(json.dumps(rep), flush=True)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(rep, f, indent=1)
+    return rep
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", default="/tmp/dexgg_big")
+    ap.add_argument("--diff", required=True)
+    ap.add_argument("--eva", required=True)
+    ap.add_argument("--out", default="runs/best_pipeline.json")
+    ap.add_argument("--n", type=int, default=200)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--scale", type=float, default=10.0)
+    ap.add_argument("--guided-kernel", action="store_true")
+    args = ap.parse_args()
+    run(args.data_dir, args.diff, args.eva, args.out, n=args.n,
+        steps=args.steps, scale=args.scale,
+        use_guided_kernel=args.guided_kernel)
+
+
+if __name__ == "__main__":
+    main()
