@@ -193,6 +193,85 @@ class RealtimePipeline:
             n_samples=cfg.n_samples, top_k=cfg.num_grasps,
             z_offset=self.engine.z_offset, **extra)
 
+    def _launch_frame_batch(self, padded: np.ndarray, n_valid: np.ndarray,
+                            seeds) -> object:
+        """Dispatch ONE device program for a batch of B prepped frames
+        (engine/frame_pipeline.py batched variants).  ``padded`` (B, N, 3),
+        ``n_valid`` (B,), ``seeds`` length-B ints.  The serving daemon's
+        coalescing path (apps/serve.py) — kernels off, XLA batched."""
+        import jax
+        import jax.numpy as jnp
+
+        from dexgangrasp_tpu.engine.frame_pipeline import (
+            frames_to_grasps_batch,
+            frames_to_grasps_diffusion_batch,
+        )
+
+        cfg = self.cfg
+        keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+        extra = dict(cfg.frame_kwargs or {})
+        for k in ("use_pallas", "use_chain_kernel", "use_ddim_kernel"):
+            extra.pop(k, None)  # batched path is XLA-only
+        if hasattr(self.engine, "diff_params"):  # diffusion family
+            e = self.engine
+            return frames_to_grasps_diffusion_batch(
+                e.model, e.diff_params, e.eva_folded, e.normalizer,
+                e.encoder.basis, jnp.asarray(padded), jnp.asarray(n_valid),
+                keys, n_samples=cfg.n_samples, top_k=cfg.num_grasps,
+                steps=e.ddim_steps, guidance_scale=e.guidance_scale,
+                z_offset=e.z_offset, **extra)
+        return frames_to_grasps_batch(
+            self.engine.gen_folded, self.engine.eva_folded,
+            self.engine.encoder.basis, jnp.asarray(padded),
+            jnp.asarray(n_valid), keys,
+            n_samples=cfg.n_samples, top_k=cfg.num_grasps,
+            z_offset=self.engine.z_offset, **extra)
+
+    def step_fused_batch(self, clouds, pad_n: int = 16384,
+                         voxel: float = 0.004, seeds=None) -> list:
+        """B frames → B result dicts through ONE fused device program.
+
+        Host-preps each cloud, stacks, dispatches the batched program,
+        and materializes ALL outputs in a single ``jax.device_get``
+        (one relay round trip for the whole batch — the same rule
+        ``_finalize_frame`` applies per frame)."""
+        if seeds is None:
+            seeds = list(range(len(clouds)))
+        prepped = [self._prep_frame(c, pad_n, voxel) for c in clouds]
+        padded = np.stack([p for p, _ in prepped])
+        n_valid = np.asarray([n for _, n in prepped])
+        return self._finalize_frame_batch(
+            self._launch_frame_batch(padded, n_valid, seeds))
+
+    def _finalize_frame_batch(self, launched) -> list:
+        """Materialize a batched launch into per-frame result dicts
+        (ok/goals semantics identical to ``_finalize_frame``)."""
+        import jax
+
+        g, centers, n_objs = launched
+        filtered, centers, n_objs = jax.device_get(
+            (g.to_dict(numpy=False), centers, n_objs))
+        out = []
+        for b in range(centers.shape[0]):
+            fb = {k: v[b] for k, v in filtered.items()}
+            n_obj = int(n_objs[b])
+            if n_obj == 0:
+                out.append({"goals": {}, "filtered": fb,
+                            "pc_center": centers[b], "n_obj": 0,
+                            "ok": False})
+                continue
+            goals = {}
+            for j in range(self.cfg.num_grasps):
+                goals[str(j)] = grasp_to_flange_goals(
+                    fb["transl"][j], fb["rot_matrix"][j], centers[b],
+                    self.cfg.base_T_cam, self.cfg.flange_T_palm)
+            if self.publisher is not None:
+                self.publisher.publish(goals)
+            out.append({"goals": goals, "filtered": fb,
+                        "pc_center": centers[b], "n_obj": n_obj,
+                        "ok": True})
+        return out
+
     def step_fused(self, cloud: Optional[np.ndarray] = None,
                    pad_n: int = 16384, voxel: float = 0.004,
                    seed: int = 0) -> Dict:

@@ -12,7 +12,10 @@ already crosses (``apps/lmp_client.py``).
 
 - ``GraspServer(pipeline, port)`` — ThreadingHTTPServer; requests are
   funneled through ONE device worker (the pipeline's thread semantics)
-  so concurrent clients cannot interleave device programs.
+  so concurrent clients cannot interleave device programs.  With
+  ``max_batch>1`` the worker COALESCES concurrent requests into one
+  vmapped device program (continuous batching — throughput under load
+  scales past 1/latency while a lone request pays ≤ the batch window).
 - ``GraspServiceClient(endpoint)`` — posts frames, returns the result
   dict (goals / filtered grasps / pc_center / ok).
 
@@ -29,6 +32,7 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 from urllib.request import Request, urlopen
@@ -49,17 +53,37 @@ def _unpack_npz(data: bytes) -> dict:
 class GraspServer:
     """Serve a RealtimePipeline over HTTP.
 
-    A single lock around the fused step keeps device programs ordered
-    (one TPU, one stream); the HTTP layer itself is threaded so slow
-    clients don't block health checks."""
+    ``max_batch=1`` (default): a single lock around the fused step keeps
+    device programs ordered (one TPU, one stream); the HTTP layer itself
+    is threaded so slow clients don't block health checks.
+
+    ``max_batch>1`` turns on request coalescing (continuous batching):
+    each handler thread host-preps its own frame, then enqueues it for a
+    single device worker that gathers up to ``max_batch`` requests
+    arriving within ``batch_window_ms`` of the first and serves them as
+    ONE vmapped device program (``frames_to_grasps_*_batch``).  Batches
+    are padded up to power-of-two buckets so at most log2(max_batch)+1
+    program shapes ever compile.  Under concurrent load this amortizes
+    the per-program dispatch cost and fills the MXU with B×n_samples
+    rows; a lone request still departs after at most the window."""
 
     def __init__(self, pipeline, host: str = "127.0.0.1", port: int = 0,
-                 pad_n: int = 16384, voxel: float = 0.006):
+                 pad_n: int = 16384, voxel: float = 0.006,
+                 max_batch: int = 1, batch_window_ms: float = 2.0):
         self.pipeline = pipeline
         self.pad_n = pad_n
         self.voxel = voxel
+        self.max_batch = int(max_batch)
+        self.batch_window_ms = float(batch_window_ms)
         self._device_lock = threading.Lock()
         self._seed = 0
+        self._seed_lock = threading.Lock()
+        self._queue = None
+        self._worker = None
+        if self.max_batch > 1:
+            import queue as _queue
+
+            self._queue = _queue.Queue()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -101,15 +125,22 @@ class GraspServer:
         self.endpoint = f"http://{host}:{self.port}"
         self._thread: Optional[threading.Thread] = None
 
+    def _next_seed(self) -> int:
+        with self._seed_lock:
+            s = self._seed
+            self._seed += 1
+        return s
+
     def _serve_one(self, req: dict) -> bytes:
         cloud = np.asarray(req["points"], np.float32)
-        seed = int(req["seed"]) if "seed" in req else None
-        with self._device_lock:
-            if seed is None:
-                seed = self._seed
-                self._seed += 1
-            res = self.pipeline.step_fused(cloud=cloud, pad_n=self.pad_n,
-                                           voxel=self.voxel, seed=seed)
+        seed = int(req["seed"]) if "seed" in req else self._next_seed()
+        if self._queue is not None:
+            res = self._serve_coalesced(cloud, seed)
+        else:
+            with self._device_lock:
+                res = self.pipeline.step_fused(
+                    cloud=cloud, pad_n=self.pad_n, voxel=self.voxel,
+                    seed=seed)
         f = res["filtered"]
         return _pack_npz(
             ok=np.asarray(res["ok"]), n_obj=np.asarray(res["n_obj"]),
@@ -120,7 +151,70 @@ class GraspServer:
             score=np.asarray(f["score"], np.float32),
             goals_json=np.asarray(json.dumps(res["goals"])))
 
+    # ------------------------------------------ request coalescing path
+
+    def _serve_coalesced(self, cloud: np.ndarray, seed: int) -> dict:
+        """Host-prep on THIS handler thread (prep parallelizes across
+        clients; the native pass releases the GIL), then hand the prepped
+        frame to the device worker and wait for its slot's result."""
+        from concurrent.futures import Future
+
+        padded, n_valid = self.pipeline._prep_frame(cloud, self.pad_n,
+                                                    self.voxel)
+        fut: Future = Future()
+        self._queue.put((padded, n_valid, seed, fut))
+        return fut.result(timeout=120.0)
+
+    def _batch_worker(self) -> None:
+        """Single device thread: gather → pad to bucket → one program."""
+        import queue as _queue
+
+        while True:
+            item = self._queue.get()
+            if item is None:  # shutdown sentinel
+                return
+            batch = [item]
+            deadline = (time.perf_counter()
+                        + self.batch_window_ms / 1e3)
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except _queue.Empty:
+                    break
+                if nxt is None:
+                    self._run_batch(batch)
+                    return
+                batch.append(nxt)
+            self._run_batch(batch)
+
+    def _run_batch(self, batch: list) -> None:
+        b = len(batch)
+        bucket = 1
+        while bucket < b:
+            bucket *= 2
+        try:
+            padded = np.stack([it[0] for it in batch]
+                              + [batch[-1][0]] * (bucket - b))
+            n_valid = np.asarray([it[1] for it in batch]
+                                 + [batch[-1][1]] * (bucket - b))
+            seeds = [it[2] for it in batch] + [0] * (bucket - b)
+            results = self.pipeline._finalize_frame_batch(
+                self.pipeline._launch_frame_batch(padded, n_valid, seeds))
+            for (_, _, _, fut), res in zip(batch, results):
+                fut.set_result(res)
+        except Exception as e:
+            for _, _, _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(e)
+
     def start(self) -> "GraspServer":
+        if self._queue is not None and self._worker is None:
+            self._worker = threading.Thread(target=self._batch_worker,
+                                            daemon=True)
+            self._worker.start()
         self._thread = threading.Thread(target=self._httpd.serve_forever,
                                         daemon=True)
         self._thread.start()
@@ -130,6 +224,10 @@ class GraspServer:
         self._httpd.shutdown()
         if self._thread:
             self._thread.join(timeout=5)
+        if self._worker is not None:
+            self._queue.put(None)
+            self._worker.join(timeout=10)
+            self._worker = None
         self._httpd.server_close()
 
     def __enter__(self):
@@ -190,6 +288,10 @@ def main():
     ap.add_argument("--port", type=int, default=8765)
     ap.add_argument("--n-samples", type=int, default=1000)
     ap.add_argument("--num-grasps", type=int, default=10)
+    ap.add_argument("--max-batch", type=int, default=1,
+                    help="coalesce up to this many concurrent requests "
+                         "into one device program (continuous batching)")
+    ap.add_argument("--batch-window-ms", type=float, default=2.0)
     args = ap.parse_args()
 
     engine = load_engine(args.gen, args.eva, model=args.model,
@@ -199,7 +301,9 @@ def main():
                          n_samples=args.n_samples,
                          num_grasps=args.num_grasps)
     pipe = RealtimePipeline(engine, cfg)
-    server = GraspServer(pipe, host="0.0.0.0", port=args.port)
+    server = GraspServer(pipe, host="0.0.0.0", port=args.port,
+                         max_batch=args.max_batch,
+                         batch_window_ms=args.batch_window_ms)
     print(f"grasp service on {server.endpoint} (family {args.model})")
     server.start()
     try:

@@ -183,3 +183,85 @@ def frame_to_grasps_diffusion(model, diff_params: dict, eva_folded: dict,
                                        use_ddim_kernel=use_ddim_kernel)
     _, order = jax.lax.approx_max_k(g.score, top_k)
     return g.take(order), center, n_obj
+
+
+# ------------------------------------------------ batched (multi-frame)
+#
+# The serving daemon coalesces concurrent client requests into ONE device
+# program (apps/serve.py): B independent frames, each with its own
+# segmentation, BPS, sampling, and top-k, vmapped over the frame axis.
+# Amortizes the per-program dispatch cost (through the axon relay a
+# dispatch is ~ms-scale regardless of batch) and fills the MXU with
+# B×n_samples rows instead of n_samples.  The reference serves one
+# request at a time by construction (a single CUDA process scripted
+# per frame, dexgangrasp_real_robot.py).
+#
+# The Pallas BPS kernel and the fused chain/DDIM kernels are not used
+# under the frame-vmap (kernel batching adds a grid axis whose win is
+# unmeasured here); the XLA path is the batched default.
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples", "top_k",
+                                             "ransac_iters", "knn_k",
+                                             "outlier_method"))
+def frames_to_grasps_batch(gen_folded: dict, eva_folded: dict,
+                           basis: jax.Array, points: jax.Array,
+                           n_valid: jax.Array, keys: jax.Array,
+                           n_samples: int = 10000, top_k: int = 10,
+                           z_offset: float = 0.025,
+                           knn_k: int = 20, std_ratio: float = 2.0,
+                           plane_thresh: float = 0.01,
+                           ransac_iters: int = 1024,
+                           outlier_method: str = "radius",
+                           outlier_radius: float = 0.012,
+                           outlier_min_neighbors: int = 6
+                           ) -> Tuple[Grasps, jax.Array, jax.Array]:
+    """Batched ``frame_to_grasps``: (B, N, 3) padded clouds + (B,) n_valid
+    + (B,) PRNG keys → (top-k Grasps with a leading B axis, centers (B, 3),
+    n_object_points (B,))."""
+    def one(p, nv, k):
+        return frame_to_grasps(
+            gen_folded, eva_folded, basis, p, nv, k,
+            n_samples=n_samples, top_k=top_k, z_offset=z_offset,
+            knn_k=knn_k, std_ratio=std_ratio, plane_thresh=plane_thresh,
+            ransac_iters=ransac_iters, outlier_method=outlier_method,
+            outlier_radius=outlier_radius,
+            outlier_min_neighbors=outlier_min_neighbors,
+            use_pallas=False, use_chain_kernel=False)
+
+    return jax.vmap(one)(points, n_valid, keys)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "model", "n_samples", "top_k", "steps", "guidance_scale",
+    "ransac_iters", "knn_k", "outlier_method"))
+def frames_to_grasps_diffusion_batch(model, diff_params: dict,
+                                     eva_folded: dict, normalizer,
+                                     basis: jax.Array, points: jax.Array,
+                                     n_valid: jax.Array, keys: jax.Array,
+                                     n_samples: int = 1000, top_k: int = 10,
+                                     steps: int = 10,
+                                     guidance_scale: float = 0.0,
+                                     z_offset: float = 0.025,
+                                     knn_k: int = 20, std_ratio: float = 2.0,
+                                     plane_thresh: float = 0.01,
+                                     ransac_iters: int = 1024,
+                                     outlier_method: str = "radius",
+                                     outlier_radius: float = 0.012,
+                                     outlier_min_neighbors: int = 6
+                                     ) -> Tuple[Grasps, jax.Array,
+                                                jax.Array]:
+    """Batched ``frame_to_grasps_diffusion`` (incl. the guided production
+    recipe): one device program for B concurrent frames."""
+    def one(p, nv, k):
+        return frame_to_grasps_diffusion(
+            model, diff_params, eva_folded, normalizer, basis, p, nv, k,
+            n_samples=n_samples, top_k=top_k, steps=steps,
+            guidance_scale=guidance_scale, z_offset=z_offset,
+            knn_k=knn_k, std_ratio=std_ratio, plane_thresh=plane_thresh,
+            ransac_iters=ransac_iters, outlier_method=outlier_method,
+            outlier_radius=outlier_radius,
+            outlier_min_neighbors=outlier_min_neighbors,
+            use_pallas=False, use_ddim_kernel=False)
+
+    return jax.vmap(one)(points, n_valid, keys)

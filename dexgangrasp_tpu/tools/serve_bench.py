@@ -1,0 +1,179 @@
+"""Serving-daemon throughput bench: request coalescing (continuous
+batching) vs serialized serving under concurrent closed-loop clients.
+
+Stands up the real HTTP daemon (apps/serve.py) in-process, fires C
+concurrent clients each running R sequential requests (the robot-side
+usage model: every client blocks on its own frame), and reports
+sustained requests/s + latency percentiles for ``max_batch=1``
+(device lock, one program per request) vs ``max_batch=C`` (one vmapped
+program per coalesced batch).
+
+Clients post pre-cropped flat clouds (~8k points, the size a robot-side
+ROI crop ships) so the wire/compression cost stays realistic without the
+11 MB organized frame dominating the loopback.  The reference serves one
+request at a time by construction (a single scripted CUDA process,
+``dexgangrasp_real_robot.py``); coalescing is TPU-serving headroom it
+has no analogue for.
+
+Usage (on the TPU host, quiet machine, one run at a time):
+    python -m dexgangrasp_tpu.tools.serve_bench [--family gan|diffusion|
+        guided] [--clients 1 2 4 8] [--reqs 12] [--out runs/serve_bench.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def build_pipeline(family: str, n_samples: int):
+    import jax
+    import numpy as np
+
+    from dexgangrasp_tpu.apps.realtime import (
+        RealtimeConfig,
+        RealtimePipeline,
+    )
+
+    base_T_cam = np.eye(4)
+    base_T_cam[:3, :3] = np.diag([1, -1, -1])
+    base_T_cam[:3, 3] = [0, 0, 1.5]
+
+    if family == "gan":
+        from dexgangrasp_tpu.engine.pipeline import GraspEngine
+        from dexgangrasp_tpu.models.networks import (
+            init_dexgan,
+            init_evaluator,
+        )
+
+        (_, gp, gs), _ = init_dexgan(jax.random.PRNGKey(0))
+        _, ep, es = init_evaluator(jax.random.PRNGKey(1))
+        engine = GraspEngine(gp, gs, ep, es, cloud_pad=8192)
+    else:
+        from dexgangrasp_tpu.engine.diffusion_pipeline import DiffusionEngine
+
+        engine = DiffusionEngine.from_checkpoints(
+            None, ddim_steps=10,
+            guidance_scale=10.0 if family == "guided" else 0.0,
+            use_ddim_kernel=False)  # batched path is XLA-only anyway
+    cfg = RealtimeConfig(base_T_cam=base_T_cam,
+                         flange_T_palm=np.eye(4),
+                         n_samples=n_samples, num_grasps=10)
+    return RealtimePipeline(engine, cfg)
+
+
+def make_client_cloud(rng, n=8000):
+    """A pre-cropped tabletop cloud: plane patch + object blob, flat
+    (N, 3) — what a robot-side client ships after its own ROI crop."""
+    import numpy as np
+
+    n_plane = n // 2
+    plane = np.stack([rng.uniform(-0.25, 0.25, n_plane),
+                      rng.uniform(-0.2, 0.2, n_plane),
+                      np.full(n_plane, 0.9)], axis=1)
+    n_obj = n - n_plane
+    obj = np.stack([rng.uniform(-0.05, 0.05, n_obj),
+                    rng.uniform(-0.05, 0.05, n_obj),
+                    0.82 + 0.04 * rng.random(n_obj)], axis=1)
+    cloud = np.concatenate([plane, obj]).astype(np.float32)
+    cloud += rng.normal(size=cloud.shape).astype(np.float32) * 5e-4
+    return cloud
+
+
+def run_load(endpoint: str, cloud, clients: int, reqs: int):
+    """C concurrent closed-loop clients × R sequential requests each;
+    returns (requests/s, latency list seconds)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dexgangrasp_tpu.apps.serve import GraspServiceClient
+
+    lat = []
+
+    def one_client(cid: int):
+        cl = GraspServiceClient(endpoint, timeout_s=120.0)
+        mine = []
+        for r in range(reqs):
+            t0 = time.perf_counter()
+            out = cl(cloud, seed=cid * 1000 + r)
+            mine.append(time.perf_counter() - t0)
+            assert out["ok"], "serving returned ok=False"
+        return mine
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=clients) as ex:
+        for res in ex.map(one_client, range(clients)):
+            lat.extend(res)
+    wall = time.perf_counter() - t0
+    return clients * reqs / wall, sorted(lat)
+
+
+def main():
+    import numpy as np
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", choices=("gan", "diffusion", "guided"),
+                    default="guided")
+    ap.add_argument("--n-samples", type=int, default=1000)
+    ap.add_argument("--clients", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--reqs", type=int, default=12)
+    ap.add_argument("--window-ms", type=float, default=5.0)
+    ap.add_argument("--out", default="runs/serve_bench.json")
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/dexgg_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    from dexgangrasp_tpu.apps.serve import GraspServer
+
+    pipe = build_pipeline(args.family, args.n_samples)
+    rng = np.random.default_rng(0)
+    cloud = make_client_cloud(rng)
+
+    report = {"family": args.family, "n_samples": args.n_samples,
+              "reqs_per_client": args.reqs,
+              "window_ms": args.window_ms,
+              "device": str(jax.devices()[0].device_kind),
+              "modes": []}
+
+    for max_batch_mode in ("serialized", "coalesced"):
+        for clients in args.clients:
+            max_batch = 1 if max_batch_mode == "serialized" else clients
+            with GraspServer(pipe, pad_n=8192, voxel=0.004,
+                             max_batch=max_batch,
+                             batch_window_ms=args.window_ms) as srv:
+                # warm every bucket shape this run will hit
+                from dexgangrasp_tpu.apps.serve import GraspServiceClient
+
+                warm = GraspServiceClient(srv.endpoint, timeout_s=600.0)
+                warm(cloud, seed=0)
+                if max_batch > 1:
+                    b = 2
+                    while b <= max_batch:
+                        pipe.step_fused_batch([cloud] * b, pad_n=8192,
+                                              voxel=0.004,
+                                              seeds=list(range(b)))
+                        b *= 2
+                rps, lat = run_load(srv.endpoint, cloud, clients,
+                                    args.reqs)
+            row = {"mode": max_batch_mode, "clients": clients,
+                   "max_batch": max_batch,
+                   "req_per_s": round(rps, 2),
+                   "p50_ms": round(lat[len(lat) // 2] * 1e3, 1),
+                   "p95_ms": round(lat[int(len(lat) * 0.95) - 1] * 1e3, 1)}
+            report["modes"].append(row)
+            print(json.dumps(row), flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({"out": args.out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -356,3 +356,80 @@ def test_grasp_service_roundtrip(engine):
         except HTTPError as e:
             assert e.code == 400
         assert client.healthz().startswith("ok")
+
+
+def test_step_fused_batch_parity(engine):
+    """The batched frame program (frames_to_grasps_batch via vmap) must
+    produce EXACTLY the per-frame program's results for the same seeds
+    (same PRNG keys, kernels off on both paths on CPU)."""
+    clouds = [_organized_test_frame(), _organized_test_frame(H=50, W=70)]
+    # pad both to the same prep shape (the batch axis requires it)
+    pipe = RealtimePipeline(engine, _realtime_cfg(n_samples=32,
+                                                  num_grasps=3))
+    singles = [pipe.step_fused(cloud=c, pad_n=2048, seed=s)
+               for s, c in enumerate(clouds)]
+    batched = pipe.step_fused_batch(clouds, pad_n=2048, seeds=[0, 1])
+    assert len(batched) == 2
+    for s, b in zip(singles, batched):
+        assert s["ok"] and b["ok"]
+        assert s["n_obj"] == b["n_obj"]
+        np.testing.assert_allclose(s["pc_center"], b["pc_center"],
+                                   atol=1e-6)
+        np.testing.assert_allclose(s["filtered"]["transl"],
+                                   b["filtered"]["transl"], atol=1e-5)
+        np.testing.assert_allclose(s["filtered"]["score"],
+                                   b["filtered"]["score"], atol=1e-5)
+
+
+def test_step_fused_batch_diffusion_guided(basis):
+    """Batched serving of the guided-diffusion production recipe: batch
+    results match per-frame guided serving for the same seeds."""
+    from dexgangrasp_tpu.engine.diffusion_pipeline import DiffusionEngine
+
+    cloud = _organized_test_frame()
+    cfg = _realtime_cfg(n_samples=16, num_grasps=3)
+    eng = DiffusionEngine.from_checkpoints(
+        None, basis=basis, ddim_steps=3, guidance_scale=5.0,
+        use_ddim_kernel=False)
+    pipe = RealtimePipeline(eng, cfg)
+    single = pipe.step_fused(cloud=cloud, pad_n=2048, seed=7)
+    batched = pipe.step_fused_batch([cloud, cloud], pad_n=2048,
+                                    seeds=[7, 8])
+    assert batched[0]["ok"] and batched[1]["ok"]
+    # vmap batching reassociates the matmul reductions → float noise at
+    # ~1e-7 relative (untrained-diffusion transl magnitudes are ~1e2)
+    np.testing.assert_allclose(single["filtered"]["transl"],
+                               batched[0]["filtered"]["transl"],
+                               rtol=1e-5, atol=1e-4)
+    # different seed in slot 1 → different grasps (keys really per-slot)
+    assert not np.allclose(batched[0]["filtered"]["transl"],
+                           batched[1]["filtered"]["transl"])
+
+
+def test_grasp_service_coalesced_batching(engine):
+    """The serving daemon with max_batch>1: concurrent clients are
+    coalesced into one device program; every client gets its own
+    seed-deterministic result (identical to max_batch=1 serving)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dexgangrasp_tpu.apps.serve import GraspServer, GraspServiceClient
+
+    cloud = _organized_test_frame()
+    pipe = RealtimePipeline(engine, _realtime_cfg(n_samples=32,
+                                                  num_grasps=3))
+    # reference results from the non-batching server
+    with GraspServer(pipe, pad_n=2048, voxel=0.004) as srv:
+        client = GraspServiceClient(srv.endpoint)
+        ref = [client(cloud, seed=s) for s in range(4)]
+
+    with GraspServer(pipe, pad_n=2048, voxel=0.004, max_batch=4,
+                     batch_window_ms=50.0) as srv:
+        client = GraspServiceClient(srv.endpoint)
+        # warm the compile caches (bucket sizes 1 and 4)
+        client(cloud, seed=0)
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            outs = list(ex.map(lambda s: client(cloud, seed=s), range(4)))
+    for s, (r, o) in enumerate(zip(ref, outs)):
+        assert o["ok"] is True
+        np.testing.assert_allclose(r["transl"], o["transl"], atol=1e-5)
+        np.testing.assert_allclose(r["score"], o["score"], atol=1e-5)
