@@ -26,6 +26,8 @@ Wire protocol (version 1):
                         rot_matrix (k,3,3), joint_conf (k,J),
                         score (k,), goals_json (str)}
   GET  /healthz   → 200 "ok <family>"
+  GET  /stats     → 200 JSON {uptime_s, requests, errors, not_ok_frames,
+                              max_batch, batch_size_hist, p50_ms, p95_ms}
 """
 from __future__ import annotations
 
@@ -84,6 +86,17 @@ class GraspServer:
             import queue as _queue
 
             self._queue = _queue.Queue()
+        # observability (/stats): counters + a bounded latency window,
+        # one lock — handler threads record, readers snapshot
+        from collections import deque
+
+        self._stats_lock = threading.Lock()
+        self._t_started = time.time()
+        self._n_requests = 0
+        self._n_errors = 0
+        self._n_not_ok = 0
+        self._batch_hist: dict = {}
+        self._lat_window = deque(maxlen=1024)
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -91,13 +104,16 @@ class GraspServer:
                 pass
 
             def do_GET(self):
-                if self.path != "/healthz":
+                if self.path == "/healthz":
+                    fam = ("diffusion"
+                           if hasattr(outer.pipeline.engine, "diff_params")
+                           else "gan")
+                    body = f"ok {fam}".encode()
+                elif self.path == "/stats":
+                    body = json.dumps(outer.stats()).encode()
+                else:
                     self.send_error(404)
                     return
-                fam = ("diffusion"
-                       if hasattr(outer.pipeline.engine, "diff_params")
-                       else "gan")
-                body = f"ok {fam}".encode()
                 self.send_response(200)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
@@ -112,6 +128,8 @@ class GraspServer:
                     req = _unpack_npz(self.rfile.read(n))
                     out = outer._serve_one(req)
                 except Exception as e:  # surface as a 400, keep serving
+                    with outer._stats_lock:
+                        outer._n_errors += 1
                     self.send_error(400, str(e)[:200])
                     return
                 self.send_response(200)
@@ -131,16 +149,47 @@ class GraspServer:
             self._seed += 1
         return s
 
+    def stats(self) -> dict:
+        """Serving counters + latency percentiles over the last ≤1024
+        requests (the /stats wire payload)."""
+        with self._stats_lock:
+            lat = sorted(self._lat_window)
+            snap = {
+                "uptime_s": round(time.time() - self._t_started, 1),
+                "requests": self._n_requests,
+                "errors": self._n_errors,
+                "not_ok_frames": self._n_not_ok,
+                "max_batch": self.max_batch,
+                "batch_size_hist": dict(sorted(self._batch_hist.items())),
+            }
+        if lat:
+            snap["p50_ms"] = round(lat[len(lat) // 2] * 1e3, 1)
+            snap["p95_ms"] = round(lat[max(0, int(len(lat) * 0.95) - 1)]
+                                   * 1e3, 1)
+        return snap
+
     def _serve_one(self, req: dict) -> bytes:
+        t0 = time.perf_counter()
         cloud = np.asarray(req["points"], np.float32)
         seed = int(req["seed"]) if "seed" in req else self._next_seed()
-        if self._queue is not None:
-            res = self._serve_coalesced(cloud, seed)
-        else:
-            with self._device_lock:
-                res = self.pipeline.step_fused(
-                    cloud=cloud, pad_n=self.pad_n, voxel=self.voxel,
-                    seed=seed)
+        try:
+            if self._queue is not None:
+                res = self._serve_coalesced(cloud, seed)
+            else:
+                with self._device_lock:
+                    res = self.pipeline.step_fused(
+                        cloud=cloud, pad_n=self.pad_n, voxel=self.voxel,
+                        seed=seed)
+                with self._stats_lock:
+                    self._batch_hist[1] = self._batch_hist.get(1, 0) + 1
+        except Exception:
+            with self._stats_lock:
+                self._n_errors += 1
+            raise
+        with self._stats_lock:
+            self._n_requests += 1
+            self._n_not_ok += 0 if res["ok"] else 1
+            self._lat_window.append(time.perf_counter() - t0)
         f = res["filtered"]
         return _pack_npz(
             ok=np.asarray(res["ok"]), n_obj=np.asarray(res["n_obj"]),
@@ -192,6 +241,8 @@ class GraspServer:
 
     def _run_batch(self, batch: list) -> None:
         b = len(batch)
+        with self._stats_lock:
+            self._batch_hist[b] = self._batch_hist.get(b, 0) + 1
         bucket = 1
         while bucket < b:
             bucket *= 2
@@ -248,6 +299,11 @@ class GraspServiceClient:
         with urlopen(self.endpoint + "/healthz",
                      timeout=self.timeout_s) as resp:
             return resp.read().decode()
+
+    def stats(self) -> dict:
+        with urlopen(self.endpoint + "/stats",
+                     timeout=self.timeout_s) as resp:
+            return json.loads(resp.read().decode())
 
     def __call__(self, points: np.ndarray, seed: Optional[int] = None
                  ) -> dict:

@@ -429,7 +429,14 @@ def test_grasp_service_coalesced_batching(engine):
         client(cloud, seed=0)
         with ThreadPoolExecutor(max_workers=4) as ex:
             outs = list(ex.map(lambda s: client(cloud, seed=s), range(4)))
+        stats = client.stats()
     for s, (r, o) in enumerate(zip(ref, outs)):
         assert o["ok"] is True
         np.testing.assert_allclose(r["transl"], o["transl"], atol=1e-5)
         np.testing.assert_allclose(r["score"], o["score"], atol=1e-5)
+    # observability: /stats saw every request, no errors, and at least
+    # one multi-request coalesced batch
+    assert stats["requests"] == 5 and stats["errors"] == 0
+    assert stats["max_batch"] == 4
+    assert any(int(k) > 1 for k in stats["batch_size_hist"])
+    assert "p50_ms" in stats
