@@ -27,7 +27,11 @@ Wire protocol (version 1):
                         score (k,), goals_json (str)}
   GET  /healthz   → 200 "ok <family>"
   GET  /stats     → 200 JSON {uptime_s, requests, errors, not_ok_frames,
-                              max_batch, batch_size_hist, p50_ms, p95_ms}
+                              max_batch, reloads, batch_size_hist,
+                              p50_ms, p95_ms}
+  POST /reload    body: JSON {gen?, eva?} (server-side checkpoint paths)
+                  → 200 JSON {ok, family} — hot weight swap, no restart
+                  (requires an engine_factory; 501 otherwise)
 """
 from __future__ import annotations
 
@@ -71,10 +75,17 @@ class GraspServer:
 
     def __init__(self, pipeline, host: str = "127.0.0.1", port: int = 0,
                  pad_n: int = 16384, voxel: float = 0.006,
-                 max_batch: int = 1, batch_window_ms: float = 2.0):
+                 max_batch: int = 1, batch_window_ms: float = 2.0,
+                 engine_factory=None):
         self.pipeline = pipeline
         self.pad_n = pad_n
         self.voxel = voxel
+        # hot reload: factory(gen_path, eva_path) -> engine; the daemon
+        # swaps pipeline.engine in place (POST /reload) — same program
+        # shapes, so no recompile, and in-flight frames finish on the
+        # old weights
+        self._engine_factory = engine_factory
+        self._n_reloads = 0
         self.max_batch = int(max_batch)
         self.batch_window_ms = float(batch_window_ms)
         self._device_lock = threading.Lock()
@@ -120,6 +131,23 @@ class GraspServer:
                 self.wfile.write(body)
 
             def do_POST(self):
+                if self.path == "/reload":
+                    n = int(self.headers.get("Content-Length", 0))
+                    try:
+                        spec = json.loads(self.rfile.read(n) or b"{}")
+                        out = json.dumps(outer.reload_weights(
+                            gen=spec.get("gen"),
+                            eva=spec.get("eva"))).encode()
+                    except Exception as e:
+                        self.send_error(
+                            501 if isinstance(e, NotImplementedError)
+                            else 400, str(e)[:200])
+                        return
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(out)))
+                    self.end_headers()
+                    self.wfile.write(out)
+                    return
                 if self.path != "/grasps":
                     self.send_error(404)
                     return
@@ -149,6 +177,29 @@ class GraspServer:
             self._seed += 1
         return s
 
+    def reload_weights(self, gen: Optional[str] = None,
+                       eva: Optional[str] = None) -> dict:
+        """Swap serving weights without restarting (POST /reload).
+
+        Builds a fresh engine via the injected ``engine_factory(gen,
+        eva)`` (checkpoint paths are SERVER-side — this is a trusted
+        robot-LAN service, same trust model as the reference's scp push,
+        ``realsense.py:145-146``), then swaps ``pipeline.engine``
+        under the device lock.  Program shapes are unchanged, so the
+        jitted frame programs re-run with the new weight arrays with no
+        recompilation; a frame already in flight completes on the old
+        weights."""
+        if self._engine_factory is None:
+            raise NotImplementedError("server started without an "
+                                      "engine_factory; reload disabled")
+        engine = self._engine_factory(gen, eva)
+        with self._device_lock:
+            self.pipeline.engine = engine
+        with self._stats_lock:
+            self._n_reloads += 1
+        fam = ("diffusion" if hasattr(engine, "diff_params") else "gan")
+        return {"ok": True, "family": fam, "gen": gen, "eva": eva}
+
     def stats(self) -> dict:
         """Serving counters + latency percentiles over the last ≤1024
         requests (the /stats wire payload)."""
@@ -160,6 +211,7 @@ class GraspServer:
                 "errors": self._n_errors,
                 "not_ok_frames": self._n_not_ok,
                 "max_batch": self.max_batch,
+                "reloads": self._n_reloads,
                 "batch_size_hist": dict(sorted(self._batch_hist.items())),
             }
         if lat:
@@ -305,6 +357,15 @@ class GraspServiceClient:
                      timeout=self.timeout_s) as resp:
             return json.loads(resp.read().decode())
 
+    def reload(self, gen: Optional[str] = None,
+               eva: Optional[str] = None) -> dict:
+        """Hot-swap the server's weights (paths resolved server-side)."""
+        body = json.dumps({"gen": gen, "eva": eva}).encode()
+        req = Request(self.endpoint + "/reload", data=body,
+                      headers={"Content-Type": "application/json"})
+        with urlopen(req, timeout=self.timeout_s) as resp:
+            return json.loads(resp.read().decode())
+
     def __call__(self, points: np.ndarray, seed: Optional[int] = None
                  ) -> dict:
         arrays = {"points": np.asarray(points, np.float32)}
@@ -350,8 +411,12 @@ def main():
     ap.add_argument("--batch-window-ms", type=float, default=2.0)
     args = ap.parse_args()
 
-    engine = load_engine(args.gen, args.eva, model=args.model,
-                         guidance_scale=args.guidance_scale)
+    def factory(gen, eva):
+        return load_engine(gen or args.gen, eva or args.eva,
+                           model=args.model,
+                           guidance_scale=args.guidance_scale)
+
+    engine = factory(None, None)
     cfg = RealtimeConfig(base_T_cam=REFERENCE_BASE_T_CAM,
                          flange_T_palm=REFERENCE_FLANGE_T_PALM,
                          n_samples=args.n_samples,
@@ -359,7 +424,8 @@ def main():
     pipe = RealtimePipeline(engine, cfg)
     server = GraspServer(pipe, host="0.0.0.0", port=args.port,
                          max_batch=args.max_batch,
-                         batch_window_ms=args.batch_window_ms)
+                         batch_window_ms=args.batch_window_ms,
+                         engine_factory=factory)
     print(f"grasp service on {server.endpoint} (family {args.model})")
     server.start()
     try:

@@ -440,3 +440,47 @@ def test_grasp_service_coalesced_batching(engine):
     assert stats["max_batch"] == 4
     assert any(int(k) > 1 for k in stats["batch_size_hist"])
     assert "p50_ms" in stats
+
+
+def test_grasp_service_hot_reload(basis):
+    """POST /reload hot-swaps serving weights without restart: same-seed
+    requests differ across the swap, stats count it, and a server
+    without an engine_factory refuses with 501."""
+    from urllib.error import HTTPError
+
+    from dexgangrasp_tpu.apps.serve import GraspServer, GraspServiceClient
+
+    cloud = _organized_test_frame()
+    cfg = _realtime_cfg(n_samples=32, num_grasps=3)
+
+    def make_engine(seed):
+        (_, gp, gs), _ = init_dexgan(jax.random.PRNGKey(seed))
+        _, ep, es = init_evaluator(jax.random.PRNGKey(seed + 1))
+        return GraspEngine(gp, gs, ep, es, basis=basis, cloud_pad=2048)
+
+    calls = []
+
+    def factory(gen, eva):
+        calls.append((gen, eva))
+        return make_engine(9)
+
+    pipe = RealtimePipeline(make_engine(0), cfg)
+    with GraspServer(pipe, pad_n=2048, voxel=0.004,
+                     engine_factory=factory) as srv:
+        client = GraspServiceClient(srv.endpoint)
+        before = client(cloud, seed=5)
+        out = client.reload(gen="new_gen.npz", eva="new_eva.npz")
+        assert out["ok"] is True and out["family"] == "gan"
+        assert calls == [("new_gen.npz", "new_eva.npz")]
+        after = client(cloud, seed=5)
+        # same seed, same frame — different weights → different grasps
+        assert not np.allclose(before["transl"], after["transl"])
+        assert client.stats()["reloads"] == 1
+
+    with GraspServer(pipe, pad_n=2048, voxel=0.004) as srv:
+        client = GraspServiceClient(srv.endpoint)
+        try:
+            client.reload()
+            assert False, "expected HTTPError 501"
+        except HTTPError as e:
+            assert e.code == 501
