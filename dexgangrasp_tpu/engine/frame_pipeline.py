@@ -3,9 +3,13 @@
 One jitted XLA program takes a padded camera-frame cloud and returns the
 top-k scored grasps:
 
-  outlier removal (device kNN) → RANSAC plane removal → object centering
-  → BPS encoding → object-context folding → sample N latents → generator
-  → rot6d→matrix → palm back-off → evaluator → approx top-k
+  RANSAC plane removal → compact → outlier removal (device kNN, on the
+  quarter-size object buffer) → centering → BPS encoding →
+  object-context folding → sample N latents → generator → rot6d→matrix
+  → palm back-off → evaluator → approx top-k
+
+(plane-first perception order; ``plane_first=False`` restores the
+reference's outlier-first order — see ``_segment_center_encode``.)
 
 The reference executes this as ≥6 host stages with open3d/CUDA round trips
 per frame (``dexgangrasp_real_robot.py:110-160``); here the host only ROI-
@@ -45,10 +49,52 @@ def _segment_center_encode(basis, points, n_valid, k_seg,
                            knn_k=20, std_ratio=2.0, plane_thresh=0.01,
                            ransac_iters=1024, outlier_method="radius",
                            outlier_radius=0.012, outlier_min_neighbors=6,
-                           use_pallas=None):
+                           use_pallas=None, plane_first=True):
     """Shared perception front-end of every frame program: padded cloud →
     (bps (4096,), pc_center (3,), n_object_points).  Traced inline into
-    the caller's jit."""
+    the caller's jit.
+
+    ``plane_first=True`` (default) runs the stages in the TPU-efficient
+    order: RANSAC plane removal FIRST (robust to outliers by
+    construction), then the O(M²) outlier pass only on the quarter-size
+    compacted non-plane buffer instead of the full frame — measured 9.4
+    → 1.8 ms on the n=8192 frame program (the kNN pass over the full
+    frame was 94% of device time, runs/frame_roofline_gan.json).  The
+    reference's host chain filters outliers before plane segmentation
+    (``segmentation.py:94-148``); ``plane_first=False`` keeps that
+    order (same final mask on well-formed frames — see
+    tests/test_apps.py plane-first parity test)."""
+    if plane_first:
+        from dexgangrasp_tpu.ops.perception import (
+            ransac_plane_device,
+            radius_outlier_mask_device,
+            statistical_outlier_mask_device,
+        )
+
+        valid = jnp.arange(points.shape[0]) < n_valid
+        _, plane_inliers = ransac_plane_device(points, n_valid, k_seg,
+                                               plane_thresh, ransac_iters)
+        cand = valid & ~plane_inliers
+        out_size = max(1024, points.shape[0] // 4)
+        # compaction packs candidates at the front, so the buffer's
+        # valid region is exactly [0, m)
+        buf = compact_masked_points(points, cand, out_size)
+        m = jnp.minimum(jnp.sum(cand), out_size)
+        if outlier_method == "radius":
+            keep = radius_outlier_mask_device(
+                buf, m, radius=outlier_radius,
+                min_neighbors=outlier_min_neighbors)
+        else:
+            keep = statistical_outlier_mask_device(buf, m, k=knn_k,
+                                                   std_ratio=std_ratio)
+        n_obj = jnp.sum(keep)
+        denom = jnp.maximum(n_obj.astype(points.dtype), 1.0)
+        center = jnp.sum(jnp.where(keep[:, None], buf, 0.0),
+                         axis=0) / denom
+        obj_buf = jnp.where(keep[:, None], buf - center, PAD_VALUE)
+        bps = bps_encode(basis, obj_buf, use_pallas=use_pallas)
+        return bps, center, n_obj
+
     obj_mask = segment_object_device(points, n_valid, k_seg, k=knn_k,
                                      std_ratio=std_ratio,
                                      dist_thresh=plane_thresh,
@@ -76,7 +122,8 @@ def _segment_center_encode(basis, points, n_valid, k_seg,
 @functools.partial(jax.jit, static_argnames=("n_samples", "top_k",
                                              "ransac_iters", "knn_k",
                                              "outlier_method", "use_pallas",
-                                             "use_chain_kernel"))
+                                             "use_chain_kernel",
+                                             "plane_first"))
 def frame_to_grasps(gen_folded: dict, eva_folded: dict, basis: jax.Array,
                     points: jax.Array, n_valid: jax.Array, key: jax.Array,
                     n_samples: int = 10000, top_k: int = 10,
@@ -87,7 +134,8 @@ def frame_to_grasps(gen_folded: dict, eva_folded: dict, basis: jax.Array,
                     outlier_radius: float = 0.012,
                     outlier_min_neighbors: int = 6,
                     use_pallas: bool = None,
-                    use_chain_kernel: bool = False
+                    use_chain_kernel: bool = False,
+                    plane_first: bool = True
                     ) -> Tuple[Grasps, jax.Array, jax.Array]:
     """padded (N, 3) cloud + n_valid → (top-k Grasps in the *centroid*
     frame, pc_center (3,), n_object_points).
@@ -99,7 +147,8 @@ def frame_to_grasps(gen_folded: dict, eva_folded: dict, basis: jax.Array,
         basis, points, n_valid, k_seg, knn_k=knn_k, std_ratio=std_ratio,
         plane_thresh=plane_thresh, ransac_iters=ransac_iters,
         outlier_method=outlier_method, outlier_radius=outlier_radius,
-        outlier_min_neighbors=outlier_min_neighbors, use_pallas=use_pallas)
+        outlier_min_neighbors=outlier_min_neighbors, use_pallas=use_pallas,
+        plane_first=plane_first)
 
     z = jax.random.normal(k_z, (n_samples, gen_folded["rb1"]["w1_z"].shape[0]),
                           points.dtype)
@@ -127,7 +176,7 @@ def frame_to_grasps(gen_folded: dict, eva_folded: dict, basis: jax.Array,
 @functools.partial(jax.jit, static_argnames=(
     "model", "n_samples", "top_k", "steps", "guidance_scale",
     "ransac_iters", "knn_k", "outlier_method", "use_pallas",
-    "use_ddim_kernel"))
+    "use_ddim_kernel", "plane_first"))
 def frame_to_grasps_diffusion(model, diff_params: dict, eva_folded: dict,
                               normalizer, basis: jax.Array,
                               points: jax.Array, n_valid: jax.Array,
@@ -143,7 +192,8 @@ def frame_to_grasps_diffusion(model, diff_params: dict, eva_folded: dict,
                               outlier_radius: float = 0.012,
                               outlier_min_neighbors: int = 6,
                               use_pallas: bool = None,
-                              use_ddim_kernel: bool = False
+                              use_ddim_kernel: bool = False,
+                              plane_first: bool = True
                               ) -> Tuple[Grasps, jax.Array, jax.Array]:
     """The diffusion-family closed-loop frame program (VERDICT r2 next-2):
     padded camera cloud → segmentation → BPS → DDIM sample (optionally
@@ -168,7 +218,8 @@ def frame_to_grasps_diffusion(model, diff_params: dict, eva_folded: dict,
         basis, points, n_valid, k_seg, knn_k=knn_k, std_ratio=std_ratio,
         plane_thresh=plane_thresh, ransac_iters=ransac_iters,
         outlier_method=outlier_method, outlier_radius=outlier_radius,
-        outlier_min_neighbors=outlier_min_neighbors, use_pallas=use_pallas)
+        outlier_min_neighbors=outlier_min_neighbors, use_pallas=use_pallas,
+        plane_first=plane_first)
 
     if guidance_scale:
         g = sample_and_score_guided(model, diff_params, eva_folded,
@@ -203,7 +254,8 @@ def frame_to_grasps_diffusion(model, diff_params: dict, eva_folded: dict,
 
 @functools.partial(jax.jit, static_argnames=("n_samples", "top_k",
                                              "ransac_iters", "knn_k",
-                                             "outlier_method"))
+                                             "outlier_method",
+                                             "plane_first"))
 def frames_to_grasps_batch(gen_folded: dict, eva_folded: dict,
                            basis: jax.Array, points: jax.Array,
                            n_valid: jax.Array, keys: jax.Array,
@@ -214,7 +266,8 @@ def frames_to_grasps_batch(gen_folded: dict, eva_folded: dict,
                            ransac_iters: int = 1024,
                            outlier_method: str = "radius",
                            outlier_radius: float = 0.012,
-                           outlier_min_neighbors: int = 6
+                           outlier_min_neighbors: int = 6,
+                           plane_first: bool = True
                            ) -> Tuple[Grasps, jax.Array, jax.Array]:
     """Batched ``frame_to_grasps``: (B, N, 3) padded clouds + (B,) n_valid
     + (B,) PRNG keys → (top-k Grasps with a leading B axis, centers (B, 3),
@@ -227,14 +280,15 @@ def frames_to_grasps_batch(gen_folded: dict, eva_folded: dict,
             ransac_iters=ransac_iters, outlier_method=outlier_method,
             outlier_radius=outlier_radius,
             outlier_min_neighbors=outlier_min_neighbors,
-            use_pallas=False, use_chain_kernel=False)
+            use_pallas=False, use_chain_kernel=False,
+            plane_first=plane_first)
 
     return jax.vmap(one)(points, n_valid, keys)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "model", "n_samples", "top_k", "steps", "guidance_scale",
-    "ransac_iters", "knn_k", "outlier_method"))
+    "ransac_iters", "knn_k", "outlier_method", "plane_first"))
 def frames_to_grasps_diffusion_batch(model, diff_params: dict,
                                      eva_folded: dict, normalizer,
                                      basis: jax.Array, points: jax.Array,
@@ -248,7 +302,8 @@ def frames_to_grasps_diffusion_batch(model, diff_params: dict,
                                      ransac_iters: int = 1024,
                                      outlier_method: str = "radius",
                                      outlier_radius: float = 0.012,
-                                     outlier_min_neighbors: int = 6
+                                     outlier_min_neighbors: int = 6,
+                                     plane_first: bool = True
                                      ) -> Tuple[Grasps, jax.Array,
                                                 jax.Array]:
     """Batched ``frame_to_grasps_diffusion`` (incl. the guided production
@@ -262,6 +317,7 @@ def frames_to_grasps_diffusion_batch(model, diff_params: dict,
             ransac_iters=ransac_iters, outlier_method=outlier_method,
             outlier_radius=outlier_radius,
             outlier_min_neighbors=outlier_min_neighbors,
-            use_pallas=False, use_ddim_kernel=False)
+            use_pallas=False, use_ddim_kernel=False,
+            plane_first=plane_first)
 
     return jax.vmap(one)(points, n_valid, keys)

@@ -131,7 +131,7 @@ def main():
         key, k = jax.random.split(key)
         bps, center, n_obj_ = _segment_center_encode(
             basis, points + acc * 1e-12, n_valid, k,
-            outlier_method="statistical")
+            outlier_method="statistical", plane_first=False)
         return key, acc + bps.sum() * 1e-9 + center.sum() * 1e-9
 
     def sampler_body(key, acc):
@@ -142,21 +142,25 @@ def main():
         _, order = jax.lax.approx_max_k(g.score, 10)
         return key, acc + g.score[order[0]] * 1e-3
 
-    def full_body(key, acc):
-        key, k = jax.random.split(key)
-        if args.family == "gan":
-            g, center, n_obj_ = frame_to_grasps(
-                gen_folded, eva_folded, basis, points + acc * 1e-12,
-                n_valid, k, n_samples=n_samples, top_k=10,
-                outlier_method="statistical")
-        else:
-            e = deng
-            g, center, n_obj_ = frame_to_grasps_diffusion(
-                e.model, e.diff_params, e.eva_folded, e.normalizer,
-                basis, points + acc * 1e-12, n_valid, k,
-                n_samples=n_samples, top_k=10, steps=10,
-                guidance_scale=10.0, outlier_method="statistical")
-        return key, acc + g.score[0] * 1e-3 + center.sum() * 1e-9
+    def make_full_body(plane_first):
+        def full_body(key, acc):
+            key, k = jax.random.split(key)
+            if args.family == "gan":
+                g, center, n_obj_ = frame_to_grasps(
+                    gen_folded, eva_folded, basis, points + acc * 1e-12,
+                    n_valid, k, n_samples=n_samples, top_k=10,
+                    outlier_method="statistical",
+                    plane_first=plane_first)
+            else:
+                e = deng
+                g, center, n_obj_ = frame_to_grasps_diffusion(
+                    e.model, e.diff_params, e.eva_folded, e.normalizer,
+                    basis, points + acc * 1e-12, n_valid, k,
+                    n_samples=n_samples, top_k=10, steps=10,
+                    guidance_scale=10.0, outlier_method="statistical",
+                    plane_first=plane_first)
+            return key, acc + g.score[0] * 1e-3 + center.sum() * 1e-9
+        return full_body
 
     report = {"family": args.family, "pad_n": args.pad_n,
               "n_samples": n_samples, "iters": args.iters,
@@ -164,7 +168,9 @@ def main():
     times = {}
     variants = [("outlier", outlier_body), ("segment", segment_body),
                 ("perception", perception_body),
-                ("sampler", sampler_body), ("full", full_body)]
+                ("sampler", sampler_body),
+                ("full", make_full_body(False)),
+                ("full_planefirst", make_full_body(True))]
     for name, body in variants:
         t = timed(chain(body))
         times[name] = t
@@ -181,6 +187,8 @@ def main():
         "fusion_overlap": round(
             (times["perception"] + times["sampler"] - times["full"])
             * 1e3, 3),
+        "plane_first_speedup": round(
+            times["full"] / times["full_planefirst"], 3),
     }
     print(json.dumps(report, indent=1))
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
