@@ -69,6 +69,10 @@ def main():
     ap.add_argument("--family", choices=("gan", "diffusion", "guided"),
                     default="gan")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--depth", type=int, default=2,
+                    help="in-flight device dispatches (1 = pure "
+                         "double-buffer; 2 overlaps the relay's fixed "
+                         "per-dispatch cost with itself)")
     ap.add_argument("--out", default=None, help="append JSON line here")
     args = ap.parse_args()
 
@@ -101,7 +105,8 @@ def main():
     # overlapped: double-buffered (VERDICT r2 next-3)
     t0 = time.perf_counter()
     n_done = sum(1 for _ in pipe.run_fused([frame] * args.iters,
-                                           pad_n=pad_n, voxel=voxel))
+                                           pad_n=pad_n, voxel=voxel,
+                                           depth=args.depth))
     dt_overlap = (time.perf_counter() - t0) / n_done
 
     # host-prep-only cost, for the max(host, device) bound
@@ -115,6 +120,7 @@ def main():
               "unit": "frames/s", "vs_baseline": round(fps / 15, 3),
               "family": args.family,
               "serial_fps": round(1 / dt_serial, 2),
+              "depth": args.depth,
               "host_prep_ms": round(dt_host * 1000, 2),
               "native_host_ops": native.available()}
     print(json.dumps(result))

@@ -288,64 +288,77 @@ class RealtimePipeline:
                                                        seed))
 
     def run_fused(self, frames, pad_n: int = 16384, voxel: float = 0.004,
-                  on_result: Optional[Callable[[Dict], None]] = None):
+                  on_result: Optional[Callable[[Dict], None]] = None,
+                  depth: int = 2):
         """Sustained closed-loop serving with host/device overlap: frame
         N+1's host prep runs while frame N's device program executes
         (double-buffering — sustained rate is bounded by max(host, device)
         instead of their sum; VERDICT r2 next-3).
 
-        The device half (dispatch + materialize) runs on ONE worker
-        thread: through the axon relay the dispatch call itself blocks for
-        most of the program's execution, so same-thread interleaving buys
-        nothing — a thread is what lets host prep proceed during it (jax
-        releases the GIL while waiting on the transfer).  A single worker
-        keeps device programs strictly ordered.
+        The device halves (dispatch + materialize) run on ``depth``
+        worker threads: through the axon relay the dispatch call itself
+        blocks for most of the program's wall time (a ~fixed per-dispatch
+        relay cost dominates the actual device execution —
+        docs/RESULTS.md frame-roofline section), so ``depth=2`` keeps two
+        dispatches in flight and overlaps that fixed cost with itself.
+        XLA serializes the device programs themselves on the single TPU
+        stream, and goals-building + publishing happen on the consumer
+        thread at yield time, so results (and ROS publishes) stay
+        strictly in frame order at any depth.  ``depth=1`` restores pure
+        double-buffering.
 
         ``frames``: iterable of clouds (or None to pull from the camera).
         Yields one result dict per frame, in order."""
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         def device_half(padded, n_valid, seed):
-            out = self._finalize_frame(
+            # dispatch + one batched transfer; NO publishing here — a
+            # worker may finish out of order at depth > 1
+            return self._materialize_frame(
                 self._launch_frame(padded, n_valid, seed))
+
+        def emit(fut):
+            out = self._assemble_result(fut.result())
             if on_result is not None:
                 on_result(out)
             return out
 
-        with ThreadPoolExecutor(max_workers=1) as ex:
-            pending = None
+        with ThreadPoolExecutor(max_workers=max(1, depth)) as ex:
+            pending = deque()
             seed = 0
             for cloud in frames:
                 if cloud is None:
                     cloud = self.camera.capture()["points"]
                 padded, n_valid = self._prep_frame(cloud, pad_n, voxel)
-                fut = ex.submit(device_half, padded, n_valid, seed)
-                if pending is not None:
-                    yield pending.result()
-                pending = fut
+                pending.append(ex.submit(device_half, padded, n_valid,
+                                         seed))
                 seed += 1
-            if pending is not None:
-                yield pending.result()
+                while len(pending) >= max(1, depth):
+                    yield emit(pending.popleft())
+            while pending:
+                yield emit(pending.popleft())
 
-    def _finalize_frame(self, launched) -> Dict:
-        """Materialize a launched frame's device results and build goals.
+    def _materialize_frame(self, launched):
+        """Force a launched frame's device results to host in ONE
+        ``jax.device_get`` — through the axon relay every separate host
+        materialization is its own round trip (~20-30 ms each; 7 of them
+        once cost more than the whole device program)."""
+        import jax
+
+        g, center, n_obj = launched
+        filtered, pc_center, n_obj = jax.device_get(
+            (g.to_dict(numpy=False), center, n_obj))
+        return filtered, pc_center, int(n_obj)
+
+    def _assemble_result(self, materialized) -> Dict:
+        """Build goals + publish from materialized frame outputs.
 
         Failure detection: a frame where segmentation found NO object
         points yields NaN grasps — report ``ok=False`` with empty goals
         (and publish nothing) instead of propagating NaN poses to the
-        robot.
-
-        All device outputs come back in ONE ``jax.device_get`` — through
-        the axon relay every separate host materialization is its own
-        round trip (~20-30 ms each; 7 of them once cost more than the
-        whole device program)."""
-        import jax
-
-        g, center, n_obj = launched
-        filtered_dev = g.to_dict(numpy=False)
-        filtered, pc_center, n_obj = jax.device_get(
-            (filtered_dev, center, n_obj))
-        n_obj = int(n_obj)
+        robot."""
+        filtered, pc_center, n_obj = materialized
         if n_obj == 0:
             return {"goals": {}, "filtered": filtered,
                     "pc_center": pc_center, "n_obj": 0, "ok": False}
@@ -358,6 +371,10 @@ class RealtimePipeline:
             self.publisher.publish(goals)
         return {"goals": goals, "filtered": filtered,
                 "pc_center": pc_center, "n_obj": n_obj, "ok": True}
+
+    def _finalize_frame(self, launched) -> Dict:
+        """Materialize + assemble one frame (the serial step_fused path)."""
+        return self._assemble_result(self._materialize_frame(launched))
 
     def step(self, cloud: Optional[np.ndarray] = None) -> Dict:
         """One closed-loop iteration; returns the published goals."""
