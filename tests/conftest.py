@@ -103,6 +103,11 @@ SLOW_TESTS = {
     "test_multi_object_batched",
     "test_realtime_fused_diffusion_family",
     "test_frame_to_grasps_diffusion_end_to_end",
+    # round-3 serving additions (multi-program compiles / trained-ckpt IO)
+    "test_step_fused_batch_diffusion_guided",
+    "test_grasp_service_coalesced_batching",
+    "test_grasp_service_hot_reload",
+    "test_quantized_evaluator_fidelity_trained",
 }
 
 

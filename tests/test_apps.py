@@ -496,7 +496,13 @@ def test_plane_first_segmentation_parity(engine):
     from dexgangrasp_tpu.engine.frame_pipeline import _segment_center_encode
     from dexgangrasp_tpu.ops.bps import PAD_VALUE, pad_cloud
 
-    cloud = _organized_test_frame().reshape(-1, 3)
+    # deterministic frame (module rng state depends on test order)
+    local = np.random.default_rng(123)
+    xs, ys = np.meshgrid(np.linspace(-0.4, 0.4, 80),
+                         np.linspace(-0.3, 0.3, 60))
+    frame = np.stack([xs, ys, np.full((60, 80), 0.8)], axis=-1)
+    frame[20:40, 30:50, 2] -= 0.08 + 0.02 * local.random((20, 20))
+    cloud = frame.astype(np.float32).reshape(-1, 3)
     padded, n_valid = pad_cloud(cloud, 8192), cloud.shape[0]
     basis = engine.encoder.basis
     key = jax.random.PRNGKey(4)
@@ -519,7 +525,9 @@ def test_plane_first_segmentation_parity(engine):
     # closer to the full-object encodings the models trained on.
     assert int(n1) >= int(n0)  # plane-first never over-prunes vs old
     assert int(n1) <= int(n0) * 1.4
-    np.testing.assert_allclose(c0, c1, atol=1e-3)
+    # centroid shift from boundary-point differences stays well under
+    # the 4-6 mm serving voxel
+    np.testing.assert_allclose(c0, c1, atol=3e-3)
     # the BPS distance fields agree to the boundary-point scale (cm)
     assert float(np.max(np.abs(bps0 - bps1))) < 0.03
     assert float(np.mean(np.abs(bps0 - bps1))) < 0.01
