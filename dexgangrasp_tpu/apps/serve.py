@@ -59,9 +59,11 @@ def _unpack_npz(data: bytes) -> dict:
 class GraspServer:
     """Serve a RealtimePipeline over HTTP.
 
-    ``max_batch=1`` (default): a single lock around the fused step keeps
-    device programs ordered (one TPU, one stream); the HTTP layer itself
-    is threaded so slow clients don't block health checks.
+    ``max_batch=1`` (default): each request runs its own fused step;
+    up to ``max_inflight`` (default 2) dispatches overlap to cover the
+    transport's fixed per-dispatch cost (requests are independent and
+    XLA serializes the device programs themselves).  The HTTP layer is
+    threaded so slow clients don't block health checks.
 
     ``max_batch>1`` turns on request coalescing (continuous batching):
     each handler thread host-preps its own frame, then enqueues it for a
@@ -76,7 +78,7 @@ class GraspServer:
     def __init__(self, pipeline, host: str = "127.0.0.1", port: int = 0,
                  pad_n: int = 16384, voxel: float = 0.006,
                  max_batch: int = 1, batch_window_ms: float = 2.0,
-                 engine_factory=None):
+                 engine_factory=None, max_inflight: int = 2):
         self.pipeline = pipeline
         self.pad_n = pad_n
         self.voxel = voxel
@@ -88,11 +90,19 @@ class GraspServer:
         self._n_reloads = 0
         self.max_batch = int(max_batch)
         self.batch_window_ms = float(batch_window_ms)
-        self._device_lock = threading.Lock()
+        self.max_inflight = max(1, int(max_inflight))
+        # ``max_inflight`` device dispatches may overlap (requests are
+        # independent, XLA serializes the programs themselves on the one
+        # TPU stream; through the axon relay a ~fixed per-dispatch cost
+        # dominates, so two in flight overlap it — the same depth-2
+        # finding as apps/realtime.run_fused, docs/RESULTS.md).  A
+        # reload swap still takes every permit, so it cannot interleave
+        # with in-flight frames.
+        self._device_sem = threading.BoundedSemaphore(self.max_inflight)
         self._seed = 0
         self._seed_lock = threading.Lock()
         self._queue = None
-        self._worker = None
+        self._workers: list = []
         if self.max_batch > 1:
             import queue as _queue
 
@@ -193,8 +203,14 @@ class GraspServer:
             raise NotImplementedError("server started without an "
                                       "engine_factory; reload disabled")
         engine = self._engine_factory(gen, eva)
-        with self._device_lock:
+        # drain: take every in-flight permit before swapping
+        for _ in range(self.max_inflight):
+            self._device_sem.acquire()
+        try:
             self.pipeline.engine = engine
+        finally:
+            for _ in range(self.max_inflight):
+                self._device_sem.release()
         with self._stats_lock:
             self._n_reloads += 1
         fam = ("diffusion" if hasattr(engine, "diff_params") else "gan")
@@ -228,7 +244,7 @@ class GraspServer:
             if self._queue is not None:
                 res = self._serve_coalesced(cloud, seed)
             else:
-                with self._device_lock:
+                with self._device_sem:
                     res = self.pipeline.step_fused(
                         cloud=cloud, pad_n=self.pad_n, voxel=self.voxel,
                         seed=seed)
@@ -304,8 +320,10 @@ class GraspServer:
             n_valid = np.asarray([it[1] for it in batch]
                                  + [batch[-1][1]] * (bucket - b))
             seeds = [it[2] for it in batch] + [0] * (bucket - b)
-            results = self.pipeline._finalize_frame_batch(
-                self.pipeline._launch_frame_batch(padded, n_valid, seeds))
+            with self._device_sem:
+                results = self.pipeline._finalize_frame_batch(
+                    self.pipeline._launch_frame_batch(padded, n_valid,
+                                                      seeds))
             for (_, _, _, fut), res in zip(batch, results):
                 fut.set_result(res)
         except Exception as e:
@@ -314,10 +332,14 @@ class GraspServer:
                     fut.set_exception(e)
 
     def start(self) -> "GraspServer":
-        if self._queue is not None and self._worker is None:
-            self._worker = threading.Thread(target=self._batch_worker,
-                                            daemon=True)
-            self._worker.start()
+        if self._queue is not None and not self._workers:
+            # max_inflight batch workers: batch N+1 gathers/dispatches
+            # while batch N's transfer drains (relay overlap)
+            for _ in range(self.max_inflight):
+                w = threading.Thread(target=self._batch_worker,
+                                     daemon=True)
+                w.start()
+                self._workers.append(w)
         self._thread = threading.Thread(target=self._httpd.serve_forever,
                                         daemon=True)
         self._thread.start()
@@ -327,10 +349,11 @@ class GraspServer:
         self._httpd.shutdown()
         if self._thread:
             self._thread.join(timeout=5)
-        if self._worker is not None:
+        for _ in self._workers:
             self._queue.put(None)
-            self._worker.join(timeout=10)
-            self._worker = None
+        for w in self._workers:
+            w.join(timeout=10)
+        self._workers = []
         self._httpd.server_close()
 
     def __enter__(self):
@@ -409,6 +432,9 @@ def main():
                     help="coalesce up to this many concurrent requests "
                          "into one device program (continuous batching)")
     ap.add_argument("--batch-window-ms", type=float, default=2.0)
+    ap.add_argument("--max-inflight", type=int, default=2,
+                    help="overlapping device dispatches (covers the "
+                         "transport's fixed per-dispatch cost)")
     args = ap.parse_args()
 
     def factory(gen, eva):
@@ -425,7 +451,8 @@ def main():
     server = GraspServer(pipe, host="0.0.0.0", port=args.port,
                          max_batch=args.max_batch,
                          batch_window_ms=args.batch_window_ms,
-                         engine_factory=factory)
+                         engine_factory=factory,
+                         max_inflight=args.max_inflight)
     print(f"grasp service on {server.endpoint} (family {args.model})")
     server.start()
     try:
