@@ -107,6 +107,7 @@ SLOW_TESTS = {
     "test_step_fused_batch_diffusion_guided",
     "test_grasp_service_coalesced_batching",
     "test_grasp_service_hot_reload",
+    "test_grasp_service_soak_mixed_workload",
     "test_quantized_evaluator_fidelity_trained",
 }
 

@@ -531,3 +531,73 @@ def test_plane_first_segmentation_parity(engine):
     # the BPS distance fields agree to the boundary-point scale (cm)
     assert float(np.max(np.abs(bps0 - bps1))) < 0.03
     assert float(np.mean(np.abs(bps0 - bps1))) < 0.01
+
+
+def test_grasp_service_soak_mixed_workload(engine, basis):
+    """Daemon robustness under a mixed concurrent workload: grasp
+    requests, hot reloads, malformed bodies, and stats polls all racing.
+    Every grasp request must succeed (reload drains in-flight permits
+    atomically — no torn weight swaps), counters must reconcile, and the
+    server must stay serving."""
+    from concurrent.futures import ThreadPoolExecutor
+    from urllib.error import HTTPError
+    from urllib.request import Request, urlopen
+
+    from dexgangrasp_tpu.apps.serve import GraspServer, GraspServiceClient
+
+    cloud = _organized_test_frame()
+    cfg = _realtime_cfg(n_samples=32, num_grasps=3)
+
+    def factory(gen, eva):
+        (_, gp, gs), _ = init_dexgan(jax.random.PRNGKey(11))
+        _, ep, es = init_evaluator(jax.random.PRNGKey(12))
+        return GraspEngine(gp, gs, ep, es, basis=basis, cloud_pad=2048)
+
+    pipe = RealtimePipeline(factory(None, None), cfg)
+    with GraspServer(pipe, pad_n=2048, voxel=0.004, max_batch=4,
+                     batch_window_ms=5.0, engine_factory=factory,
+                     max_inflight=2) as srv:
+        client = GraspServiceClient(srv.endpoint, timeout_s=120.0)
+        client(cloud, seed=0)  # warm
+
+        n_grasp, n_reload, n_bad = 12, 3, 4
+
+        def do_grasp(s):
+            out = client(cloud, seed=s)
+            assert out["ok"] is True
+            assert np.isfinite(out["transl"]).all()
+            return "g"
+
+        def do_reload(_):
+            assert client.reload()["ok"] is True
+            return "r"
+
+        def do_bad(_):
+            try:
+                urlopen(Request(srv.endpoint + "/grasps", data=b"junk"),
+                        timeout=30)
+                raise AssertionError("expected 400")
+            except HTTPError as e:
+                assert e.code == 400
+            return "b"
+
+        def do_stats(_):
+            assert "requests" in client.stats()
+            return "s"
+
+        jobs = ([(do_grasp, s) for s in range(n_grasp)]
+                + [(do_reload, i) for i in range(n_reload)]
+                + [(do_bad, i) for i in range(n_bad)]
+                + [(do_stats, i) for i in range(4)])
+        rng_local = np.random.default_rng(0)
+        rng_local.shuffle(jobs)
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            results = list(ex.map(lambda fa: fa[0](fa[1]), jobs))
+        assert results.count("g") == n_grasp
+
+        stats = client.stats()
+        assert stats["requests"] == n_grasp + 1  # + the warm request
+        assert stats["errors"] == n_bad
+        assert stats["reloads"] == n_reload
+        assert stats["not_ok_frames"] == 0
+        assert client.healthz().startswith("ok")
