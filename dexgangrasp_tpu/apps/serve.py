@@ -10,12 +10,13 @@ program (any generator family, including guided DDIM — the same
 goals + top-k grasps.  Same wire style as the LMP boundary the reference
 already crosses (``apps/lmp_client.py``).
 
-- ``GraspServer(pipeline, port)`` — ThreadingHTTPServer; requests are
-  funneled through ONE device worker (the pipeline's thread semantics)
-  so concurrent clients cannot interleave device programs.  With
-  ``max_batch>1`` the worker COALESCES concurrent requests into one
-  vmapped device program (continuous batching — throughput under load
-  scales past 1/latency while a lone request pays ≤ the batch window).
+- ``GraspServer(pipeline, port)`` — ThreadingHTTPServer; up to
+  ``max_inflight`` (default 2) device dispatches overlap to cover the
+  transport's fixed per-dispatch cost (XLA serializes the device
+  programs themselves on the one TPU stream).  With ``max_batch>1`` the
+  device workers COALESCE concurrent requests into one vmapped device
+  program (continuous batching — throughput under load scales past
+  1/latency while a lone request pays ≤ the batch window).
 - ``GraspServiceClient(endpoint)`` — posts frames, returns the result
   dict (goals / filtered grasps / pc_center / ok).
 

@@ -26,7 +26,7 @@ import numpy as np
 def run(data_dir: str, diff_ckpt: str, eva_ckpt: str, out_path: str,
         n: int = 200, steps: int = 10, scale: float = 10.0,
         thresh=(0.5, 0.75, 0.90), use_guided_kernel: bool = False,
-        seed: int = 0):
+        refine_steps: int = 0, seed: int = 0):
     from dexgangrasp_tpu.cli import load_engine, run_filter
     from dexgangrasp_tpu.data.datasets import DexGeneratorDataSet
     from dexgangrasp_tpu.data.grasp_geometry import grasp_outcomes
@@ -38,9 +38,15 @@ def run(data_dir: str, diff_ckpt: str, eva_ckpt: str, out_path: str,
     engine.use_ddim_kernel = False
     engine.use_guided_kernel = use_guided_kernel
 
+    if refine_steps:
+        import jax.numpy as jnp
+
+        from dexgangrasp_tpu.engine import folding
+        from dexgangrasp_tpu.engine.refine import refine_grasps_gradient
+
     dset = DexGeneratorDataSet(data_dir, "eval")
     views = sorted(set(dset.bps_paths))
-    rates, frates, passes = [], [], []
+    rates, frates, passes, rrates, rfrates, rpasses = [], [], [], [], [], []
     for bp in views:
         stem = os.path.split(bp)[1].replace("bps", "pcd").replace(".npy", "")
         full = np.load(os.path.join(data_dir, "full_pcd", stem + ".npy"))
@@ -59,6 +65,28 @@ def run(data_dir: str, diff_ckpt: str, eva_ckpt: str, out_path: str,
         except ValueError:  # best grasp below threshold: zero yield view
             passes.append(0.0)
 
+        if refine_steps:
+            # composed frontier: guided sample -> evaluator-gradient
+            # refinement -> 3-stage filter
+            r_rot, r_transl, r_joints, _ = refine_grasps_gradient(
+                engine.eva_folded, jnp.asarray(bps.astype(np.float32)),
+                jnp.asarray(g["rot_matrix"]), jnp.asarray(g["transl"]),
+                jnp.asarray(g["joint_conf"]), num_steps=refine_steps)
+            rg = dict(g)
+            rg["rot_matrix"] = np.asarray(r_rot)
+            rg["transl"] = np.asarray(r_transl)
+            rrates.append(float(grasp_outcomes(
+                full, rg["transl"], rg["rot_matrix"])["success"].mean()))
+            try:
+                rf, _ = run_filter(engine, bps, rg, n, list(thresh),
+                                   False, verbose=False)
+                rfrates.append(float(grasp_outcomes(
+                    full, np.asarray(rf["transl"]),
+                    np.asarray(rf["rot_matrix"]))["success"].mean()))
+                rpasses.append(rf["transl"].shape[0] / float(n))
+            except ValueError:
+                rpasses.append(0.0)
+
     rep = {"pipeline": f"guided DDIM-{steps} (scale {scale}) + 3-stage "
                        "filter",
            "data_dir": data_dir, "diff_ckpt": diff_ckpt, "eva_ckpt": eva_ckpt,
@@ -67,6 +95,12 @@ def run(data_dir: str, diff_ckpt: str, eva_ckpt: str, out_path: str,
            "guided_filtered_oracle": round(float(np.mean(frates)), 4),
            "filter_pass": round(float(np.mean(passes)), 4),
            "n_views": len(views)}
+    if refine_steps:
+        rep["refine_steps"] = refine_steps
+        rep["guided_refined_oracle"] = round(float(np.mean(rrates)), 4)
+        rep["guided_refined_filtered_oracle"] = round(
+            float(np.mean(rfrates)), 4)
+        rep["refined_filter_pass"] = round(float(np.mean(rpasses)), 4)
     print(json.dumps(rep), flush=True)
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
@@ -84,10 +118,14 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--scale", type=float, default=10.0)
     ap.add_argument("--guided-kernel", action="store_true")
+    ap.add_argument("--refine-steps", type=int, default=0,
+                    help="also measure + filter after this many "
+                         "evaluator-gradient refinement steps")
     args = ap.parse_args()
     run(args.data_dir, args.diff, args.eva, args.out, n=args.n,
         steps=args.steps, scale=args.scale,
-        use_guided_kernel=args.guided_kernel)
+        use_guided_kernel=args.guided_kernel,
+        refine_steps=args.refine_steps)
 
 
 if __name__ == "__main__":
