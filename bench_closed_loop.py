@@ -57,7 +57,9 @@ def build_pipeline(family: str):
         n_samples = 1000
         engine = DiffusionEngine.from_checkpoints(
             None, ddim_steps=10,
-            guidance_scale=10.0 if family == "guided" else 0.0,
+            guidance_scale=10.0 if family in ("guided", "frontier")
+            else 0.0,
+            refine_steps=10 if family == "frontier" else 0,
             use_ddim_kernel=(jax.devices()[0].platform == "tpu"))
     cfg = RealtimeConfig(base_T_cam=base_T_cam, flange_T_palm=np.eye(4),
                          roi_mask=roi, n_samples=n_samples, num_grasps=10)
@@ -66,8 +68,12 @@ def build_pipeline(family: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--family", choices=("gan", "diffusion", "guided"),
-                    default="gan")
+    ap.add_argument("--family",
+                    choices=("gan", "diffusion", "guided", "frontier"),
+                    default="gan",
+                    help="frontier = guided DDIM-10 + fused 10-step "
+                         "evaluator-gradient refinement (the composed "
+                         "recipe, runs/best_pipeline_refined.json)")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--depth", type=int, default=2,
                     help="in-flight device dispatches (1 = pure "

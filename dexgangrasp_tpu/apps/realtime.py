@@ -185,6 +185,7 @@ class RealtimePipeline:
                 steps=e.ddim_steps, guidance_scale=e.guidance_scale,
                 z_offset=e.z_offset,
                 use_ddim_kernel=e.use_ddim_kernel and not e.guidance_scale,
+                refine_steps=getattr(e, "refine_steps", 0),
                 **extra)
         return frame_to_grasps(
             self.engine.gen_folded, self.engine.eva_folded,
@@ -219,7 +220,8 @@ class RealtimePipeline:
                 e.encoder.basis, jnp.asarray(padded), jnp.asarray(n_valid),
                 keys, n_samples=cfg.n_samples, top_k=cfg.num_grasps,
                 steps=e.ddim_steps, guidance_scale=e.guidance_scale,
-                z_offset=e.z_offset, **extra)
+                z_offset=e.z_offset,
+                refine_steps=getattr(e, "refine_steps", 0), **extra)
         return frames_to_grasps_batch(
             self.engine.gen_folded, self.engine.eva_folded,
             self.engine.encoder.basis, jnp.asarray(padded),

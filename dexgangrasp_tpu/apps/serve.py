@@ -426,6 +426,10 @@ def main():
     ap.add_argument("--model", default="gan",
                     choices=["gan", "vae", "diffusion"])
     ap.add_argument("--guidance-scale", type=float, default=0.0)
+    ap.add_argument("--refine-steps", type=int, default=0,
+                    help="diffusion: fuse this many evaluator-gradient "
+                         "refinement steps into the frame program (the "
+                         "composed-frontier recipe)")
     ap.add_argument("--port", type=int, default=8765)
     ap.add_argument("--n-samples", type=int, default=1000)
     ap.add_argument("--num-grasps", type=int, default=10)
@@ -441,7 +445,8 @@ def main():
     def factory(gen, eva):
         return load_engine(gen or args.gen, eva or args.eva,
                            model=args.model,
-                           guidance_scale=args.guidance_scale)
+                           guidance_scale=args.guidance_scale,
+                           refine_steps=args.refine_steps)
 
     engine = factory(None, None)
     cfg = RealtimeConfig(base_T_cam=REFERENCE_BASE_T_CAM,

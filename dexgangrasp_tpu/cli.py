@@ -186,7 +186,7 @@ import numpy as np
 
 
 def load_engine(gen_path, eva_path, basis_path=None, model: str = "gan",
-                guidance_scale: float = 0.0):
+                guidance_scale: float = 0.0, refine_steps: int = 0):
     """Thin wrapper over the engine loaders (kept as the CLI's loading
     seam; apps import it by this name).  ``model``: 'gan'/'vae' checkpoints
     serve through GraspEngine (the VAE decoder is generator-shaped);
@@ -196,9 +196,9 @@ def load_engine(gen_path, eva_path, basis_path=None, model: str = "gan",
     if model == "diffusion":
         from dexgangrasp_tpu.engine.diffusion_pipeline import DiffusionEngine
 
-        return DiffusionEngine.from_checkpoints(gen_path, eva_path,
-                                                basis_path,
-                                                guidance_scale=guidance_scale)
+        return DiffusionEngine.from_checkpoints(
+            gen_path, eva_path, basis_path,
+            guidance_scale=guidance_scale, refine_steps=refine_steps)
     from dexgangrasp_tpu.engine.pipeline import GraspEngine
 
     return GraspEngine.from_checkpoints(gen_path, eva_path, basis_path)

@@ -292,7 +292,7 @@ class DiffusionEngine:
                  basis=None, z_offset: float = 0.025, cloud_pad: int = 8192,
                  ddim_steps: int = 50, guidance_scale: float = 0.0,
                  use_ddim_kernel=None, cfg_weight: float = 0.0,
-                 use_guided_kernel: bool = False):
+                 use_guided_kernel: bool = False, refine_steps: int = 0):
         from dexgangrasp_tpu.ops.bps import BPSEncoder
 
         self.model = model or DexDiffuser()
@@ -312,6 +312,10 @@ class DiffusionEngine:
         # opt-in: the whole guided chain as one Pallas kernel
         # (ops/guided_ddim.py; on-chip A/B in tools/guided_bench.py)
         self.use_guided_kernel = use_guided_kernel
+        # >0: evaluator-gradient refinement fused into the frame program
+        # after sampling (the composed-frontier recipe — guided sample →
+        # refine → rescore → top-k; runs/best_pipeline_refined.json)
+        self.refine_steps = refine_steps
         self.cfg_weight = cfg_weight
         self._key = jax.random.PRNGKey(0)
 

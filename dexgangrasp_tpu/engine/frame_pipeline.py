@@ -176,7 +176,7 @@ def frame_to_grasps(gen_folded: dict, eva_folded: dict, basis: jax.Array,
 @functools.partial(jax.jit, static_argnames=(
     "model", "n_samples", "top_k", "steps", "guidance_scale",
     "ransac_iters", "knn_k", "outlier_method", "use_pallas",
-    "use_ddim_kernel", "plane_first"))
+    "use_ddim_kernel", "plane_first", "refine_steps"))
 def frame_to_grasps_diffusion(model, diff_params: dict, eva_folded: dict,
                               normalizer, basis: jax.Array,
                               points: jax.Array, n_valid: jax.Array,
@@ -193,7 +193,8 @@ def frame_to_grasps_diffusion(model, diff_params: dict, eva_folded: dict,
                               outlier_min_neighbors: int = 6,
                               use_pallas: bool = None,
                               use_ddim_kernel: bool = False,
-                              plane_first: bool = True
+                              plane_first: bool = True,
+                              refine_steps: int = 0
                               ) -> Tuple[Grasps, jax.Array, jax.Array]:
     """The diffusion-family closed-loop frame program (VERDICT r2 next-2):
     padded camera cloud → segmentation → BPS → DDIM sample (optionally
@@ -232,6 +233,27 @@ def frame_to_grasps_diffusion(model, diff_params: dict, eva_folded: dict,
                                        normalizer, bps, k_z, n_samples,
                                        steps=steps, z_offset=z_offset,
                                        use_ddim_kernel=use_ddim_kernel)
+    if refine_steps:
+        # composed-frontier recipe, fused per frame: evaluator-gradient
+        # refinement + rescore (runs/best_pipeline_refined.json — the
+        # composition saturates the oracle at 99.5% yield)
+        from dexgangrasp_tpu.core.rotations import ortho6d_from_rot_matrix
+        from dexgangrasp_tpu.engine.refine import refine_grasps_gradient
+
+        rot, transl, joints, _ = refine_grasps_gradient(
+            eva_folded, bps, g.rot_matrix, g.transl, g.joint_conf,
+            num_steps=refine_steps)
+        # gradient ascent steps the matrix entries raw (reference
+        # :516-541 does the same) — project back to SO(3) through the
+        # 6D Gram-Schmidt before the pose reaches a robot, and rescore
+        # the projected pose so ranking sees what will be served
+        rot = rot_matrix_from_ortho6d(ortho6d_from_rot_matrix(rot))
+        pose = jnp.concatenate([rot.reshape(n_samples, 9), transl],
+                               axis=1)
+        ectx = folding.evaluator_object_context(eva_folded, bps)
+        score = folding.evaluator_apply_folded(eva_folded, ectx, pose)
+        g = Grasps(transl=transl, rot_matrix=rot, joint_conf=joints,
+                   score=score, z=g.z)
     _, order = jax.lax.approx_max_k(g.score, top_k)
     return g.take(order), center, n_obj
 
@@ -288,7 +310,8 @@ def frames_to_grasps_batch(gen_folded: dict, eva_folded: dict,
 
 @functools.partial(jax.jit, static_argnames=(
     "model", "n_samples", "top_k", "steps", "guidance_scale",
-    "ransac_iters", "knn_k", "outlier_method", "plane_first"))
+    "ransac_iters", "knn_k", "outlier_method", "plane_first",
+    "refine_steps"))
 def frames_to_grasps_diffusion_batch(model, diff_params: dict,
                                      eva_folded: dict, normalizer,
                                      basis: jax.Array, points: jax.Array,
@@ -303,7 +326,8 @@ def frames_to_grasps_diffusion_batch(model, diff_params: dict,
                                      outlier_method: str = "radius",
                                      outlier_radius: float = 0.012,
                                      outlier_min_neighbors: int = 6,
-                                     plane_first: bool = True
+                                     plane_first: bool = True,
+                                     refine_steps: int = 0
                                      ) -> Tuple[Grasps, jax.Array,
                                                 jax.Array]:
     """Batched ``frame_to_grasps_diffusion`` (incl. the guided production
@@ -318,6 +342,6 @@ def frames_to_grasps_diffusion_batch(model, diff_params: dict,
             outlier_radius=outlier_radius,
             outlier_min_neighbors=outlier_min_neighbors,
             use_pallas=False, use_ddim_kernel=False,
-            plane_first=plane_first)
+            plane_first=plane_first, refine_steps=refine_steps)
 
     return jax.vmap(one)(points, n_valid, keys)

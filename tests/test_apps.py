@@ -601,3 +601,39 @@ def test_grasp_service_soak_mixed_workload(engine, basis):
         assert stats["reloads"] == n_reload
         assert stats["not_ok_frames"] == 0
         assert client.healthz().startswith("ok")
+
+
+def test_realtime_fused_refined_frontier(basis):
+    """The composed-frontier recipe (guided DDIM → evaluator-gradient
+    refinement → rescore → top-k) serves as ONE fused frame program:
+    refinement moves the grasps, served rotations stay orthonormal
+    (SO(3) projection before the robot sees them), goals build."""
+    from dexgangrasp_tpu.engine.diffusion_pipeline import DiffusionEngine
+
+    cloud = _organized_test_frame()
+    cfg = _realtime_cfg(n_samples=16, num_grasps=3)
+
+    outs = {}
+    for rs in (0, 4):
+        eng = DiffusionEngine.from_checkpoints(
+            None, basis=basis, ddim_steps=3, guidance_scale=5.0,
+            use_ddim_kernel=False, refine_steps=rs)
+        pipe = RealtimePipeline(eng, cfg)
+        outs[rs] = pipe.step_fused(cloud=cloud, pad_n=2048, voxel=0.004,
+                                   seed=3)
+    assert outs[0]["ok"] and outs[4]["ok"]
+    # the refinement stage executed: grasps moved (movement magnitude is
+    # gradient-sized — ~1e-5 m on random-init weights whose evaluator
+    # field is nearly flat; quality effect is measured on trained
+    # checkpoints in runs/best_pipeline_refined.json)
+    delta = np.max(np.abs(outs[0]["filtered"]["transl"]
+                          - outs[4]["filtered"]["transl"]))
+    assert delta > 1e-8, delta
+    # and the served rotations are valid SO(3)
+    R = outs[4]["filtered"]["rot_matrix"]
+    np.testing.assert_allclose(np.einsum("bij,bkj->bik", R, R),
+                               np.broadcast_to(np.eye(3), R.shape),
+                               atol=1e-4)
+    dets = np.linalg.det(R)
+    np.testing.assert_allclose(dets, 1.0, atol=1e-4)
+    assert len(outs[4]["goals"]) == 3
