@@ -281,7 +281,9 @@ class GraspServer:
                                                     self.voxel)
         fut: Future = Future()
         self._queue.put((padded, n_valid, seed, fut))
-        return fut.result(timeout=120.0)
+        # generous bound: covers a cold bucket-shape compile on a loaded
+        # host; normal requests complete in tens of ms
+        return fut.result(timeout=600.0)
 
     def _batch_worker(self) -> None:
         """Single device thread: gather → pad to bucket → one program."""

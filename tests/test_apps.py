@@ -554,10 +554,16 @@ def test_grasp_service_soak_mixed_workload(engine, basis):
         return GraspEngine(gp, gs, ep, es, basis=basis, cloud_pad=2048)
 
     pipe = RealtimePipeline(factory(None, None), cfg)
+    # pre-compile every bucket shape (1, 2, 4) — on a loaded single-CPU
+    # host the compiles otherwise land inside the concurrent phase and
+    # can blow the request timeout
+    for b in (2, 4):
+        pipe.step_fused_batch([cloud] * b, pad_n=2048, voxel=0.004,
+                              seeds=list(range(b)))
     with GraspServer(pipe, pad_n=2048, voxel=0.004, max_batch=4,
                      batch_window_ms=5.0, engine_factory=factory,
                      max_inflight=2) as srv:
-        client = GraspServiceClient(srv.endpoint, timeout_s=120.0)
+        client = GraspServiceClient(srv.endpoint, timeout_s=300.0)
         client(cloud, seed=0)  # warm
 
         n_grasp, n_reload, n_bad = 12, 3, 4
