@@ -360,15 +360,42 @@ class DiffusionEngine:
         if gs:
             fn = (sample_and_score_guided_kernel if self.use_guided_kernel
                   else sample_and_score_guided)
-            return fn(
+            g = fn(
                 self.model, self.diff_params, self.eva_folded,
                 self.normalizer, bps, self._next_key(seed), n_samples,
                 steps=self.ddim_steps, guidance_scale=gs, z_offset=zo)
-        return sample_and_score_diffusion(
-            self.model, self.diff_params, self.eva_folded, self.normalizer,
-            bps, self._next_key(seed), n_samples, steps=self.ddim_steps,
-            z_offset=zo, use_ddim_kernel=self.use_ddim_kernel,
-            cfg_weight=self.cfg_weight)
+        else:
+            g = sample_and_score_diffusion(
+                self.model, self.diff_params, self.eva_folded,
+                self.normalizer, bps, self._next_key(seed), n_samples,
+                steps=self.ddim_steps, z_offset=zo,
+                use_ddim_kernel=self.use_ddim_kernel,
+                cfg_weight=self.cfg_weight)
+        if self.refine_steps:
+            g = self._refine(bps, g)
+        return g
+
+    def _refine(self, bps, g: Grasps) -> Grasps:
+        """Fused evaluator-gradient refinement + SO(3) projection +
+        rescore — the engine-level half of the composed-frontier recipe
+        (the frame program fuses the same stages; both paths serve
+        valid rotations)."""
+        from dexgangrasp_tpu.core.rotations import (
+            ortho6d_from_rot_matrix,
+            rot_matrix_from_ortho6d,
+        )
+        from dexgangrasp_tpu.engine.refine import refine_grasps_gradient
+
+        rot, transl, joints, _ = refine_grasps_gradient(
+            self.eva_folded, bps, g.rot_matrix, g.transl, g.joint_conf,
+            num_steps=self.refine_steps)
+        rot = rot_matrix_from_ortho6d(ortho6d_from_rot_matrix(rot))
+        pose = jnp.concatenate([rot.reshape(rot.shape[0], 9), transl],
+                               axis=1)
+        ctx = folding.evaluator_object_context(self.eva_folded, bps)
+        score = folding.evaluator_apply_folded(self.eva_folded, ctx, pose)
+        return Grasps(transl=transl, rot_matrix=rot, joint_conf=joints,
+                      score=score, z=g.z)
 
     def generate_grasps(self, bps, n_samples: int, return_arr: bool = True,
                         z_offset=None, seed=None, guidance_scale=None):
