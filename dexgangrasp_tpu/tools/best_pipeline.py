@@ -38,12 +38,6 @@ def run(data_dir: str, diff_ckpt: str, eva_ckpt: str, out_path: str,
     engine.use_ddim_kernel = False
     engine.use_guided_kernel = use_guided_kernel
 
-    if refine_steps:
-        import jax.numpy as jnp
-
-        from dexgangrasp_tpu.engine import folding
-        from dexgangrasp_tpu.engine.refine import refine_grasps_gradient
-
     dset = DexGeneratorDataSet(data_dir, "eval")
     views = sorted(set(dset.bps_paths))
     rates, frates, passes, rrates, rfrates, rpasses = [], [], [], [], [], []
@@ -66,15 +60,12 @@ def run(data_dir: str, diff_ckpt: str, eva_ckpt: str, out_path: str,
             passes.append(0.0)
 
         if refine_steps:
-            # composed frontier: guided sample -> evaluator-gradient
-            # refinement -> 3-stage filter
-            r_rot, r_transl, r_joints, _ = refine_grasps_gradient(
-                engine.eva_folded, jnp.asarray(bps.astype(np.float32)),
-                jnp.asarray(g["rot_matrix"]), jnp.asarray(g["transl"]),
-                jnp.asarray(g["joint_conf"]), num_steps=refine_steps)
-            rg = dict(g)
-            rg["rot_matrix"] = np.asarray(r_rot)
-            rg["transl"] = np.asarray(r_transl)
+            # composed frontier THROUGH THE PRODUCT PATH: same seed →
+            # identical sampler draw, then the engine's fused refine +
+            # SO(3) projection + rescore (what serving actually emits)
+            engine.refine_steps = refine_steps
+            rg = engine.generate_grasps(bps, n_samples=n, seed=seed)
+            engine.refine_steps = 0
             rrates.append(float(grasp_outcomes(
                 full, rg["transl"], rg["rot_matrix"])["success"].mean()))
             try:
