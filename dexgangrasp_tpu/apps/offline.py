@@ -78,12 +78,16 @@ def main():
                     choices=["gan", "vae", "diffusion"])
     ap.add_argument("--guidance-scale", type=float, default=0.0,
                     help="diffusion only: evaluator-guided DDIM strength")
+    ap.add_argument("--refine-steps", type=int, default=0,
+                    help="diffusion only: fused evaluator-gradient "
+                         "refinement (composed-frontier recipe)")
     args = ap.parse_args()
 
     from dexgangrasp_tpu import cli as eval_cli  # reuse checkpoint loading
 
     engine = eval_cli.load_engine(args.gen, args.eva, model=args.model,
-                                  guidance_scale=args.guidance_scale)
+                                  guidance_scale=args.guidance_scale,
+                                  refine_steps=args.refine_steps)
     results = eval_sampling_and_filtering_real(
         engine, args.real_objects, n_samples=args.n_samples,
         visualize=args.visualize)

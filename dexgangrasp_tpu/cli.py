@@ -233,6 +233,10 @@ def eval_main():
                     help="generator family of --gen (vae decoders serve "
                          "through the standard engine)")
     ap.add_argument("--z-offset", type=float, default=0.025)
+    ap.add_argument("--refine-steps", type=int, default=0,
+                    help="diffusion only: evaluator-gradient refinement "
+                         "steps fused after sampling (composed-frontier "
+                         "recipe)")
     ap.add_argument("--guidance-scale", type=float, default=0.0,
                     help="diffusion only: evaluator-guided DDIM strength "
                          "(0 = off)")
