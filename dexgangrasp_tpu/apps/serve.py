@@ -100,6 +100,7 @@ class GraspServer:
         # reload swap still takes every permit, so it cannot interleave
         # with in-flight frames.
         self._device_sem = threading.BoundedSemaphore(self.max_inflight)
+        self._reload_lock = threading.Lock()
         self._seed = 0
         self._seed_lock = threading.Lock()
         self._queue = None
@@ -204,14 +205,17 @@ class GraspServer:
             raise NotImplementedError("server started without an "
                                       "engine_factory; reload disabled")
         engine = self._engine_factory(gen, eva)
-        # drain: take every in-flight permit before swapping
-        for _ in range(self.max_inflight):
-            self._device_sem.acquire()
-        try:
-            self.pipeline.engine = engine
-        finally:
+        # serialize reloads (two concurrent drains would each hold part
+        # of the permits and deadlock), then drain every in-flight
+        # permit before swapping
+        with self._reload_lock:
             for _ in range(self.max_inflight):
-                self._device_sem.release()
+                self._device_sem.acquire()
+            try:
+                self.pipeline.engine = engine
+            finally:
+                for _ in range(self.max_inflight):
+                    self._device_sem.release()
         with self._stats_lock:
             self._n_reloads += 1
         fam = ("diffusion" if hasattr(engine, "diff_params") else "gan")

@@ -643,3 +643,27 @@ def test_realtime_fused_refined_frontier(basis):
     dets = np.linalg.det(R)
     np.testing.assert_allclose(dets, 1.0, atol=1e-4)
     assert len(outs[4]["goals"]) == 3
+
+
+def test_grasp_service_concurrent_reloads(engine, basis):
+    """Concurrent /reload requests must serialize, not deadlock (each
+    drain takes ALL in-flight permits — without the reload lock two
+    drains would each hold half and wait forever)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dexgangrasp_tpu.apps.serve import GraspServer, GraspServiceClient
+
+    def factory(gen, eva):
+        (_, gp, gs), _ = init_dexgan(jax.random.PRNGKey(21))
+        _, ep, es = init_evaluator(jax.random.PRNGKey(22))
+        return GraspEngine(gp, gs, ep, es, basis=basis, cloud_pad=2048)
+
+    pipe = RealtimePipeline(engine, _realtime_cfg(n_samples=16,
+                                                  num_grasps=2))
+    with GraspServer(pipe, pad_n=2048, max_inflight=2,
+                     engine_factory=factory) as srv:
+        client = GraspServiceClient(srv.endpoint, timeout_s=60.0)
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            outs = list(ex.map(lambda i: client.reload(), range(4)))
+        assert all(o["ok"] for o in outs)
+        assert client.stats()["reloads"] == 4
