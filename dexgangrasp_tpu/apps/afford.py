@@ -14,7 +14,7 @@ retry-on-Exception loop around it is preserved.
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import numpy as np
 

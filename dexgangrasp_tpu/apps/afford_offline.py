@@ -11,7 +11,7 @@ with thresh=-1 (keep all, reference :191-198).
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -9,7 +9,7 @@ read and a blocking viewer; those were debug cruft).
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

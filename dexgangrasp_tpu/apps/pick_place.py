@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import ast
 import time
-from typing import Dict, Optional, Protocol
+from typing import Dict, Protocol
 
 import numpy as np
 

@@ -25,7 +25,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from dexgangrasp_tpu.engine import folding
 from dexgangrasp_tpu.engine.pipeline import GraspEngine
 from dexgangrasp_tpu.engine.refine import (
     refine_grasps_gradient,
