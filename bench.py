@@ -36,8 +36,38 @@ COLD_OBJECTS = 32  # distinct clouds per cold-object timing chain
 CLOUD_PAD = 8192
 
 
+def _probe_backend(timeout_s: float = 300.0) -> bool:
+    """Bounded backend check: the axon relay can go UNAVAILABLE and then
+    ``jax.devices()`` HANGS instead of raising — fail fast with a clear
+    message rather than hanging the driver."""
+    import threading
+
+    ok = []
+
+    def probe():
+        try:
+            import jax
+
+            jax.devices()
+            ok.append(True)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
     import functools
+
+    if not _probe_backend():
+        print(json.dumps({
+            "error": "accelerator backend unreachable (axon relay outage)"
+                     " — no measurement taken; see runs/ + docs/RESULTS.md"
+                     " for the last recorded numbers"}), file=sys.stderr)
+        sys.exit(2)
 
     import jax
 
