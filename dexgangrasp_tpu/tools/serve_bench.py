@@ -55,7 +55,9 @@ def build_pipeline(family: str, n_samples: int):
 
         engine = DiffusionEngine.from_checkpoints(
             None, ddim_steps=10,
-            guidance_scale=10.0 if family == "guided" else 0.0,
+            guidance_scale=10.0 if family in ("guided", "frontier")
+            else 0.0,
+            refine_steps=10 if family == "frontier" else 0,
             use_ddim_kernel=False)  # batched path is XLA-only anyway
     cfg = RealtimeConfig(base_T_cam=base_T_cam,
                          flange_T_palm=np.eye(4),
@@ -112,7 +114,8 @@ def main():
     import numpy as np
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--family", choices=("gan", "diffusion", "guided"),
+    ap.add_argument("--family",
+                    choices=("gan", "diffusion", "guided", "frontier"),
                     default="guided")
     ap.add_argument("--n-samples", type=int, default=1000)
     ap.add_argument("--clients", type=int, nargs="+", default=[1, 2, 4, 8])
