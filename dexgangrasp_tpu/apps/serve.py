@@ -197,7 +197,8 @@ class GraspServer:
         eva)`` (checkpoint paths are SERVER-side — this is a trusted
         robot-LAN service, same trust model as the reference's scp push,
         ``realsense.py:145-146``), then swaps ``pipeline.engine``
-        under the device lock.  Program shapes are unchanged, so the
+        after draining every in-flight permit (reloads themselves
+        serialize on a dedicated lock).  Program shapes are unchanged, so the
         jitted frame programs re-run with the new weight arrays with no
         recompilation; a frame already in flight completes on the old
         weights."""
@@ -290,7 +291,9 @@ class GraspServer:
         return fut.result(timeout=600.0)
 
     def _batch_worker(self) -> None:
-        """Single device thread: gather → pad to bucket → one program."""
+        """Batch worker (``max_inflight`` of these run): gather → pad to
+        bucket → one program; a second worker lets batch N+1 gather and
+        dispatch while batch N's transfer drains."""
         import queue as _queue
 
         while True:
