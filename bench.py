@@ -36,37 +36,52 @@ COLD_OBJECTS = 32  # distinct clouds per cold-object timing chain
 CLOUD_PAD = 8192
 
 
-def _probe_backend(timeout_s: float = 300.0) -> bool:
+def _probe_backend(timeout_s: float = 90.0) -> bool:
     """Bounded backend check: the axon relay can go UNAVAILABLE and then
-    ``jax.devices()`` HANGS instead of raising — fail fast with a clear
-    message rather than hanging the driver."""
-    import threading
+    ``jax.devices()`` HANGS instead of raising — bound the wait rather than
+    hanging the driver.  jax.devices() memoizes per-process, so each probe
+    runs in a fresh subprocess; a hung child is killed, not joined."""
+    import subprocess
 
-    ok = []
+    try:
+        rc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True).returncode
+        return rc == 0
+    except subprocess.TimeoutExpired:
+        return False
 
-    def probe():
-        try:
-            import jax
 
-            jax.devices()
-            ok.append(True)
-        except Exception:
-            pass
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return bool(ok)
+def _probe_backend_with_retry(total_s: float = 300.0,
+                              probe_s: float = 90.0) -> bool:
+    """Ride out a TRANSIENT relay outage (VERDICT r3 next-1): re-probe with
+    backoff for up to ``total_s`` before giving up.  A void round artifact
+    costs far more than a few minutes of driver time."""
+    deadline = time.time() + total_s
+    delay = 5.0
+    attempt = 0
+    while True:
+        attempt += 1
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            return False
+        if _probe_backend(min(probe_s, remaining)):
+            return True
+        print(f"backend probe attempt {attempt} failed; "
+              f"{remaining:.0f}s left in retry window", file=sys.stderr)
+        time.sleep(min(delay, max(0.0, deadline - time.time())))
+        delay = min(delay * 2, 40.0)
 
 
 def main():
     import functools
 
-    if not _probe_backend():
+    if not _probe_backend_with_retry():
         print(json.dumps({
-            "error": "accelerator backend unreachable (axon relay outage)"
-                     " — no measurement taken; see runs/ + docs/RESULTS.md"
-                     " for the last recorded numbers"}), file=sys.stderr)
+            "error": "accelerator backend unreachable (axon relay outage,"
+                     " retried ~5 min) — no measurement taken; see runs/ +"
+                     " docs/RESULTS.md for the last recorded numbers"}),
+              file=sys.stderr)
         sys.exit(2)
 
     import jax
@@ -294,6 +309,40 @@ def main():
             (time.perf_counter() - t0) * 100.0, 3)
     except Exception as e:
         extras["guided_ddim10_n1000_ms"] = f"error: {e}"
+
+    # COMPOSED FRONTIER serving latency (VERDICT r3 next-1): guided
+    # DDIM-10 + fused 10-step evaluator-gradient refinement + SO(3)
+    # projection + rescore + top-k — the quality-saturating recipe the
+    # closed loop serves (runs/best_pipeline_refined.json: 1.000 true
+    # success @ 99.56% yield), n=1000, one program.
+    try:
+        from dexgangrasp_tpu.engine.diffusion_pipeline import (
+            sample_refine_rescore_diffusion,
+        )
+        from dexgangrasp_tpu.models.diffusion import DexDiffuser
+
+        fmodel = DexDiffuser()
+        fparams = fmodel.init(jax.random.PRNGKey(7))
+
+        @jax.jit
+        def frontier_chain(key):
+            def body(i, carry):
+                key, acc = carry
+                key, k = jax.random.split(key)
+                g, _ = sample_refine_rescore_diffusion(
+                    fmodel, fparams, eva_folded, None, bps, k, 1000,
+                    top_k=10, steps=10, refine_steps=10,
+                    guidance_scale=10.0)
+                return (key, acc + g.score[0] + g.transl[0].sum())
+            return jax.lax.fori_loop(0, 10, body, (key, 0.0))[1]
+
+        float(np.asarray(frontier_chain(jax.random.PRNGKey(0))))
+        t0 = time.perf_counter()
+        float(np.asarray(frontier_chain(jax.random.PRNGKey(1))))
+        extras["frontier_n1000_ms"] = round(
+            (time.perf_counter() - t0) * 100.0, 3)
+    except Exception as e:
+        extras["frontier_n1000_ms"] = f"error: {e}"
 
     print(json.dumps({
         "metric": "grasps_per_sec",

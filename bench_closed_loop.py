@@ -9,10 +9,21 @@ Reports frames/sec (camera budget: 15 fps), serial AND double-buffered
 sustained rate bounded by max(host, device), not their sum).
 
 Families (``--family``):
-  gan      — folded cGAN tail, 10k samples (the round-2 configuration)
-  diffusion— DDIM-kernel sampler, 1000 samples
-  guided   — evaluator-guided DDIM-10 (the production 0.980-true-success
-             recipe, runs/best_pipeline.json), 1000 samples
+  gan          — folded cGAN tail, 10k samples (the round-2 configuration)
+  diffusion    — DDIM-kernel sampler, 1000 samples
+  guided       — evaluator-guided DDIM-10 (the production recipe,
+                 runs/best_pipeline.json), 1000 samples
+  frontier     — guided DDIM-10 + fused 10-step evaluator-gradient
+                 refinement (runs/best_pipeline_refined.json)
+  vae          — cVAE decoder through the GAN frame program (the decoder
+                 is generator-shaped; engine loads runs/vae_study weights
+                 when present), 1000 samples (VERDICT r3 next-4)
+  vae_frontier — vae + fused 10-step evaluator-gradient refinement
+
+Reports per-frame capture→publish latency p50/p95 alongside fps: depth-2
+dispatch pipelining buys throughput by letting a frame wait one slot
+behind its predecessor, so freshness and rate are separate axes
+(VERDICT r3 next-3).
 
 Not the driver metric (see bench.py); run manually for the serving story.
 """
@@ -51,6 +62,17 @@ def build_pipeline(family: str):
         (_, gp, gs), _ = init_dexgan(jax.random.PRNGKey(0))
         _, ep, es = init_evaluator(jax.random.PRNGKey(1))
         engine = GraspEngine(gp, gs, ep, es, cloud_pad=16384)
+    elif family in ("vae", "vae_frontier"):
+        import os
+
+        from dexgangrasp_tpu.cli import load_engine
+
+        n_samples = 1000  # head-to-head with the diffusion rows
+        vae_ckpt = "runs/vae_study/30000_vae_net.npz"
+        engine = load_engine(
+            vae_ckpt if os.path.exists(vae_ckpt) else None, None,
+            model="vae",
+            refine_steps=10 if family == "vae_frontier" else 0)
     else:
         from dexgangrasp_tpu.engine.diffusion_pipeline import DiffusionEngine
 
@@ -69,11 +91,14 @@ def build_pipeline(family: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family",
-                    choices=("gan", "diffusion", "guided", "frontier"),
+                    choices=("gan", "diffusion", "guided", "frontier",
+                             "vae", "vae_frontier"),
                     default="gan",
                     help="frontier = guided DDIM-10 + fused 10-step "
                          "evaluator-gradient refinement (the composed "
-                         "recipe, runs/best_pipeline_refined.json)")
+                         "recipe, runs/best_pipeline_refined.json); "
+                         "vae[_frontier] = cVAE decoder (+ fused "
+                         "refinement) through the GAN frame program")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--depth", type=int, default=2,
                     help="in-flight device dispatches (1 = pure "
@@ -108,12 +133,28 @@ def main():
         pipe.step_fused(cloud=frame, pad_n=pad_n, voxel=voxel, seed=i + 1)
     dt_serial = (time.perf_counter() - t0) / args.iters
 
-    # overlapped: double-buffered (VERDICT r2 next-3)
+    # overlapped: double-buffered (VERDICT r2 next-3), with per-frame
+    # capture→publish latency.  "Capture" = the moment run_fused pulls the
+    # frame from the source (where a camera hands it over); "publish" = the
+    # moment its result is emitted.  Depth-2 pipelining trades freshness
+    # for rate — this measures both axes (VERDICT r3 next-3).
+    t_capture = []
+
+    def frame_source():
+        for _ in range(args.iters):
+            t_capture.append(time.perf_counter())
+            yield frame
+
+    lat = []
     t0 = time.perf_counter()
-    n_done = sum(1 for _ in pipe.run_fused([frame] * args.iters,
-                                           pad_n=pad_n, voxel=voxel,
-                                           depth=args.depth))
+    for res in pipe.run_fused(frame_source(), pad_n=pad_n, voxel=voxel,
+                              depth=args.depth):
+        lat.append(time.perf_counter() - t_capture[len(lat)])
+    n_done = len(lat)
     dt_overlap = (time.perf_counter() - t0) / n_done
+    lat_sorted = sorted(lat)
+    lat_p50 = lat_sorted[n_done // 2]
+    lat_p95 = lat_sorted[max(0, int(n_done * 0.95) - 1)]
 
     # host-prep-only cost, for the max(host, device) bound
     t0 = time.perf_counter()
@@ -127,6 +168,8 @@ def main():
               "family": args.family,
               "serial_fps": round(1 / dt_serial, 2),
               "depth": args.depth,
+              "latency_p50_ms": round(lat_p50 * 1000, 2),
+              "latency_p95_ms": round(lat_p95 * 1000, 2),
               "host_prep_ms": round(dt_host * 1000, 2),
               "native_host_ops": native.available()}
     print(json.dumps(result))

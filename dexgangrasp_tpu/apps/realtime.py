@@ -192,7 +192,8 @@ class RealtimePipeline:
             self.engine.encoder.basis, jnp.asarray(padded),
             jnp.asarray(n_valid), key,
             n_samples=cfg.n_samples, top_k=cfg.num_grasps,
-            z_offset=self.engine.z_offset, **extra)
+            z_offset=self.engine.z_offset,
+            refine_steps=getattr(self.engine, "refine_steps", 0), **extra)
 
     def _launch_frame_batch(self, padded: np.ndarray, n_valid: np.ndarray,
                             seeds) -> object:
@@ -227,7 +228,8 @@ class RealtimePipeline:
             self.engine.encoder.basis, jnp.asarray(padded),
             jnp.asarray(n_valid), keys,
             n_samples=cfg.n_samples, top_k=cfg.num_grasps,
-            z_offset=self.engine.z_offset, **extra)
+            z_offset=self.engine.z_offset,
+            refine_steps=getattr(self.engine, "refine_steps", 0), **extra)
 
     def step_fused_batch(self, clouds, pad_n: int = 16384,
                          voxel: float = 0.004, seeds=None) -> list:
@@ -250,17 +252,18 @@ class RealtimePipeline:
         (ok/goals semantics identical to ``_finalize_frame``)."""
         import jax
 
-        g, centers, n_objs = launched
-        filtered, centers, n_objs = jax.device_get(
-            (g.to_dict(numpy=False), centers, n_objs))
+        g, centers, n_objs, clippeds = launched
+        filtered, centers, n_objs, clippeds = jax.device_get(
+            (g.to_dict(numpy=False), centers, n_objs, clippeds))
         out = []
         for b in range(centers.shape[0]):
             fb = {k: v[b] for k, v in filtered.items()}
             n_obj = int(n_objs[b])
+            clipped = bool(clippeds[b])
             if n_obj == 0:
                 out.append({"goals": {}, "filtered": fb,
                             "pc_center": centers[b], "n_obj": 0,
-                            "ok": False})
+                            "ok": False, "clipped": clipped})
                 continue
             goals = {}
             for j in range(self.cfg.num_grasps):
@@ -271,7 +274,7 @@ class RealtimePipeline:
                 self.publisher.publish(goals)
             out.append({"goals": goals, "filtered": fb,
                         "pc_center": centers[b], "n_obj": n_obj,
-                        "ok": True})
+                        "ok": True, "clipped": clipped})
         return out
 
     def step_fused(self, cloud: Optional[np.ndarray] = None,
@@ -348,10 +351,10 @@ class RealtimePipeline:
         once cost more than the whole device program)."""
         import jax
 
-        g, center, n_obj = launched
-        filtered, pc_center, n_obj = jax.device_get(
-            (g.to_dict(numpy=False), center, n_obj))
-        return filtered, pc_center, int(n_obj)
+        g, center, n_obj, clipped = launched
+        filtered, pc_center, n_obj, clipped = jax.device_get(
+            (g.to_dict(numpy=False), center, n_obj, clipped))
+        return filtered, pc_center, int(n_obj), bool(clipped)
 
     def _assemble_result(self, materialized) -> Dict:
         """Build goals + publish from materialized frame outputs.
@@ -359,11 +362,15 @@ class RealtimePipeline:
         Failure detection: a frame where segmentation found NO object
         points yields NaN grasps — report ``ok=False`` with empty goals
         (and publish nothing) instead of propagating NaN poses to the
-        robot."""
-        filtered, pc_center, n_obj = materialized
+        robot.  ``clipped=True`` flags perception buffer truncation (the
+        object exceeded the quarter-frame compaction cap — grasps were
+        computed from a subsampled object; see frame_pipeline
+        ``_segment_center_encode``)."""
+        filtered, pc_center, n_obj, clipped = materialized
         if n_obj == 0:
             return {"goals": {}, "filtered": filtered,
-                    "pc_center": pc_center, "n_obj": 0, "ok": False}
+                    "pc_center": pc_center, "n_obj": 0, "ok": False,
+                    "clipped": clipped}
         goals = {}
         for j in range(self.cfg.num_grasps):
             goals[str(j)] = grasp_to_flange_goals(
@@ -372,7 +379,8 @@ class RealtimePipeline:
         if self.publisher is not None:
             self.publisher.publish(goals)
         return {"goals": goals, "filtered": filtered,
-                "pc_center": pc_center, "n_obj": n_obj, "ok": True}
+                "pc_center": pc_center, "n_obj": n_obj, "ok": True,
+                "clipped": clipped}
 
     def _finalize_frame(self, launched) -> Dict:
         """Materialize + assemble one frame (the serial step_fused path)."""

@@ -246,20 +246,21 @@ class GraspServer:
         t0 = time.perf_counter()
         cloud = np.asarray(req["points"], np.float32)
         seed = int(req["seed"]) if "seed" in req else self._next_seed()
-        try:
-            if self._queue is not None:
-                res = self._serve_coalesced(cloud, seed)
-            else:
-                with self._device_sem:
-                    res = self.pipeline.step_fused(
-                        cloud=cloud, pad_n=self.pad_n, voxel=self.voxel,
-                        seed=seed)
-                with self._stats_lock:
-                    self._batch_hist[1] = self._batch_hist.get(1, 0) + 1
-        except Exception:
+        # errors are counted exactly once, by the HTTP handler's except
+        # (which also covers request-parse failures) — not here (ADVICE r3)
+        if self._queue is not None:
+            res = self._serve_coalesced(cloud, seed)
+        else:
+            # host prep outside the device permit (mirrors the coalesced
+            # path): with max_inflight=2, concurrent requests' prep should
+            # parallelize instead of serializing against device slots
+            padded, n_valid = self.pipeline._prep_frame(cloud, self.pad_n,
+                                                        self.voxel)
+            with self._device_sem:
+                res = self.pipeline._finalize_frame(
+                    self.pipeline._launch_frame(padded, n_valid, seed))
             with self._stats_lock:
-                self._n_errors += 1
-            raise
+                self._batch_hist[1] = self._batch_hist.get(1, 0) + 1
         with self._stats_lock:
             self._n_requests += 1
             self._n_not_ok += 0 if res["ok"] else 1

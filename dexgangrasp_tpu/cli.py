@@ -201,7 +201,8 @@ def load_engine(gen_path, eva_path, basis_path=None, model: str = "gan",
             guidance_scale=guidance_scale, refine_steps=refine_steps)
     from dexgangrasp_tpu.engine.pipeline import GraspEngine
 
-    return GraspEngine.from_checkpoints(gen_path, eva_path, basis_path)
+    return GraspEngine.from_checkpoints(gen_path, eva_path, basis_path,
+                                        refine_steps=refine_steps)
 
 
 def run_filter(engine, bps, grasps, n_samples, thresh_list, use_disc,

@@ -375,27 +375,9 @@ class DiffusionEngine:
             g = self._refine(bps, g)
         return g
 
-    def _refine(self, bps, g: Grasps) -> Grasps:
-        """Fused evaluator-gradient refinement + SO(3) projection +
-        rescore — the engine-level half of the composed-frontier recipe
-        (the frame program fuses the same stages; both paths serve
-        valid rotations)."""
-        from dexgangrasp_tpu.core.rotations import (
-            ortho6d_from_rot_matrix,
-            rot_matrix_from_ortho6d,
-        )
-        from dexgangrasp_tpu.engine.refine import refine_grasps_gradient
-
-        rot, transl, joints, _ = refine_grasps_gradient(
-            self.eva_folded, bps, g.rot_matrix, g.transl, g.joint_conf,
-            num_steps=self.refine_steps)
-        rot = rot_matrix_from_ortho6d(ortho6d_from_rot_matrix(rot))
-        pose = jnp.concatenate([rot.reshape(rot.shape[0], 9), transl],
-                               axis=1)
-        ctx = folding.evaluator_object_context(self.eva_folded, bps)
-        score = folding.evaluator_apply_folded(self.eva_folded, ctx, pose)
-        return Grasps(transl=transl, rot_matrix=rot, joint_conf=joints,
-                      score=score, z=g.z)
+    # fused evaluator-gradient refinement + SO(3) projection + rescore —
+    # generator-agnostic, shared with the GAN/VAE engine (pipeline.py)
+    _refine = _pipeline.GraspEngine._refine
 
     def generate_grasps(self, bps, n_samples: int, return_arr: bool = True,
                         z_offset=None, seed=None, guidance_scale=None):

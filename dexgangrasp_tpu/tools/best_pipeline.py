@@ -26,17 +26,26 @@ import numpy as np
 def run(data_dir: str, diff_ckpt: str, eva_ckpt: str, out_path: str,
         n: int = 200, steps: int = 10, scale: float = 10.0,
         thresh=(0.5, 0.75, 0.90), use_guided_kernel: bool = False,
-        refine_steps: int = 0, seed: int = 0):
+        refine_steps: int = 0, seed: int = 0, model: str = "diffusion"):
+    """``model='diffusion'`` (default) measures the guided-DDIM frontier;
+    ``model='vae'`` / ``'gan'`` measures the same recipe with the cVAE
+    decoder / cGAN generator as the sampler (no guidance — their one-shot
+    samplers have no score-ascent hook; refinement + filter still apply),
+    giving the head-to-head serving-default comparison (VERDICT r3
+    next-4)."""
     from dexgangrasp_tpu.cli import load_engine, run_filter
     from dexgangrasp_tpu.data.datasets import DexGeneratorDataSet
     from dexgangrasp_tpu.data.grasp_geometry import grasp_outcomes
 
     engine = load_engine(diff_ckpt, eva_ckpt,
                          os.path.join(data_dir, "basis_point_set.npy"),
-                         model="diffusion", guidance_scale=scale)
-    engine.ddim_steps = steps
-    engine.use_ddim_kernel = False
-    engine.use_guided_kernel = use_guided_kernel
+                         model=model,
+                         guidance_scale=scale if model == "diffusion"
+                         else 0.0)
+    if model == "diffusion":
+        engine.ddim_steps = steps
+        engine.use_ddim_kernel = False
+        engine.use_guided_kernel = use_guided_kernel
 
     dset = DexGeneratorDataSet(data_dir, "eval")
     views = sorted(set(dset.bps_paths))
@@ -78,8 +87,10 @@ def run(data_dir: str, diff_ckpt: str, eva_ckpt: str, out_path: str,
             except ValueError:
                 rpasses.append(0.0)
 
-    rep = {"pipeline": f"guided DDIM-{steps} (scale {scale}) + 3-stage "
-                       "filter",
+    rep = {"pipeline": (f"guided DDIM-{steps} (scale {scale}) + 3-stage "
+                        "filter" if model == "diffusion"
+                        else f"{model} sampler + 3-stage filter"),
+           "model": model,
            "data_dir": data_dir, "diff_ckpt": diff_ckpt, "eva_ckpt": eva_ckpt,
            "use_guided_kernel": use_guided_kernel,
            "guided_oracle": round(float(np.mean(rates)), 4),
@@ -112,11 +123,16 @@ def main():
     ap.add_argument("--refine-steps", type=int, default=0,
                     help="also measure + filter after this many "
                          "evaluator-gradient refinement steps")
+    ap.add_argument("--model", default="diffusion",
+                    choices=("diffusion", "vae", "gan"),
+                    help="sampler family of --diff (vae/gan: one-shot "
+                         "decoder, no guidance; refinement + filter "
+                         "still compose)")
     args = ap.parse_args()
     run(args.data_dir, args.diff, args.eva, args.out, n=args.n,
         steps=args.steps, scale=args.scale,
         use_guided_kernel=args.guided_kernel,
-        refine_steps=args.refine_steps)
+        refine_steps=args.refine_steps, model=args.model)
 
 
 if __name__ == "__main__":

@@ -129,7 +129,7 @@ def main():
 
     def perception_body(key, acc):
         key, k = jax.random.split(key)
-        bps, center, n_obj_ = _segment_center_encode(
+        bps, center, n_obj_, _clip = _segment_center_encode(
             basis, points + acc * 1e-12, n_valid, k,
             outlier_method="statistical", plane_first=False)
         return key, acc + bps.sum() * 1e-9 + center.sum() * 1e-9
@@ -146,14 +146,14 @@ def main():
         def full_body(key, acc):
             key, k = jax.random.split(key)
             if args.family == "gan":
-                g, center, n_obj_ = frame_to_grasps(
+                g, center, n_obj_, _clip = frame_to_grasps(
                     gen_folded, eva_folded, basis, points + acc * 1e-12,
                     n_valid, k, n_samples=n_samples, top_k=10,
                     outlier_method="statistical",
                     plane_first=plane_first)
             else:
                 e = deng
-                g, center, n_obj_ = frame_to_grasps_diffusion(
+                g, center, n_obj_, _clip = frame_to_grasps_diffusion(
                     e.model, e.diff_params, e.eva_folded, e.normalizer,
                     basis, points + acc * 1e-12, n_valid, k,
                     n_samples=n_samples, top_k=10, steps=10,

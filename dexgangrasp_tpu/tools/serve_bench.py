@@ -50,6 +50,14 @@ def build_pipeline(family: str, n_samples: int):
         (_, gp, gs), _ = init_dexgan(jax.random.PRNGKey(0))
         _, ep, es = init_evaluator(jax.random.PRNGKey(1))
         engine = GraspEngine(gp, gs, ep, es, cloud_pad=8192)
+    elif family in ("vae", "vae_frontier"):
+        from dexgangrasp_tpu.cli import load_engine
+
+        vae_ckpt = "runs/vae_study/30000_vae_net.npz"
+        engine = load_engine(
+            vae_ckpt if os.path.exists(vae_ckpt) else None, None,
+            model="vae",
+            refine_steps=10 if family == "vae_frontier" else 0)
     else:
         from dexgangrasp_tpu.engine.diffusion_pipeline import DiffusionEngine
 
@@ -115,7 +123,8 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--family",
-                    choices=("gan", "diffusion", "guided", "frontier"),
+                    choices=("gan", "diffusion", "guided", "frontier",
+                             "vae", "vae_frontier"),
                     default="guided")
     ap.add_argument("--n-samples", type=int, default=1000)
     ap.add_argument("--clients", type=int, nargs="+", default=[1, 2, 4, 8])

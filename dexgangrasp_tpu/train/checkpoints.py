@@ -82,10 +82,13 @@ def _save_pytrees_orbax(path: str, trees: Dict[str, Any],
     path = os.path.abspath(path)
     # Atomic commit: orbax finalizes its own directory, but our sidecars
     # land after — so assemble everything in a staging dir and rename it
-    # into place last.  A crash at any point leaves either the previous
-    # complete checkpoint or a stray .tmp dir, never a directory that
-    # load_pytrees would auto-detect as orbax and then fail on.
+    # into place last.  The previous checkpoint is renamed ASIDE (.old),
+    # not deleted, before the tmp→path rename, so a crash at any point
+    # leaves a complete checkpoint at either ``path`` or ``path + '.old'``
+    # (plus possibly a stray .tmp dir) — never a window with no
+    # recoverable checkpoint (ADVICE r3).
     tmp = path + ".tmp"
+    old = path + ".old"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
     ocp.PyTreeCheckpointer().save(tmp, flat, force=True)
@@ -93,9 +96,13 @@ def _save_pytrees_orbax(path: str, trees: Dict[str, Any],
         pickle.dump(structs, f)
     with open(os.path.join(tmp, "dexgg_meta.json"), "w") as f:
         json.dump(meta or {}, f)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
     if os.path.isdir(path):
-        shutil.rmtree(path)
+        os.rename(path, old)
     os.rename(tmp, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
 
 
 def _load_pytrees_orbax(path: str) -> Tuple[Dict[str, Any], dict]:

@@ -514,8 +514,8 @@ def test_plane_first_segmentation_parity(engine):
                 basis, jnp.asarray(padded), jnp.asarray(n_valid), key,
                 outlier_method="statistical", ransac_iters=256,
                 plane_first=pf))()
-    bps0, c0, n0 = map(np.asarray, outs[False])
-    bps1, c1, n1 = map(np.asarray, outs[True])
+    bps0, c0, n0, _ = map(np.asarray, outs[False])
+    bps1, c1, n1, _ = map(np.asarray, outs[True])
     assert int(n1) > 0
     # both orders find the same object (plane fully removed, centroid
     # within 1 mm).  Extents differ at the boundary: the full-frame

@@ -33,7 +33,7 @@ def test_frame_to_grasps_end_to_end():
     # statistical outlier mode: exact o3d-parity semantics (this synthetic
     # cloud is far sparser than a voxel-decimated camera frame, so the
     # radius defaults tuned for 4 mm decimation don't apply)
-    g, center, n_obj = frame_to_grasps(
+    g, center, n_obj, clipped = frame_to_grasps(
         gf, ef, basis, jnp.asarray(padded), jnp.asarray(pts.shape[0]),
         jax.random.PRNGKey(3), n_samples=512, top_k=8, ransac_iters=256,
         outlier_method="statistical")
@@ -78,7 +78,7 @@ def test_frame_to_grasps_diffusion_end_to_end():
 
     common = dict(n_samples=64, top_k=8, steps=4, ransac_iters=256,
                   outlier_method="statistical")
-    g, center, n_obj = frame_to_grasps_diffusion(
+    g, center, n_obj, clipped = frame_to_grasps_diffusion(
         model, dparams, ef, None, basis, jnp.asarray(padded),
         jnp.asarray(n_valid), jax.random.PRNGKey(3), **common)
     assert g.transl.shape == (8, 3)
@@ -88,7 +88,7 @@ def test_frame_to_grasps_diffusion_end_to_end():
     np.testing.assert_allclose(np.einsum("bij,bkj->bik", R, R),
                                np.broadcast_to(np.eye(3), R.shape), atol=1e-4)
 
-    gg, _, _ = frame_to_grasps_diffusion(
+    gg, _, _, _ = frame_to_grasps_diffusion(
         model, dparams, ef, None, basis, jnp.asarray(padded),
         jnp.asarray(n_valid), jax.random.PRNGKey(3), guidance_scale=10.0,
         **common)
@@ -100,3 +100,41 @@ def test_frame_to_grasps_diffusion_end_to_end():
     np.testing.assert_allclose(np.einsum("bij,bkj->bik", Rg, Rg),
                                np.broadcast_to(np.eye(3), Rg.shape),
                                atol=1e-4)
+
+
+def test_clipped_flag_reports_buffer_truncation():
+    """The perception front-end compacts non-plane candidates into a
+    quarter-frame buffer; a frame whose object exceeds that cap must set
+    clipped=True instead of silently dropping points (ADVICE r3).  A
+    normal frame (small object on a dominant plane) must report False."""
+    from dexgangrasp_tpu.engine.frame_pipeline import _segment_center_encode
+
+    basis = generate_basis(jax.random.PRNGKey(2), 4096, 0.2)
+    pad_n = 2048  # quarter-cap = max(1024, 512) = 1024
+    key = jax.random.PRNGKey(4)
+
+    # normal: 1200-pt plane + 400-pt object → 400 candidates < 1024
+    plane = np.concatenate(
+        [rng.uniform(-0.3, 0.3, (1200, 2)),
+         0.5 + rng.normal(size=(1200, 1)) * 0.002], axis=1)
+    obj = rng.normal(size=(400, 3)) * 0.03 + np.array([0.05, -0.02, 0.35])
+    pts = np.concatenate([plane, obj]).astype(np.float32)
+    _, _, n_obj, clipped = jax.jit(lambda p, n: _segment_center_encode(
+        basis, p, n, key, outlier_method="statistical",
+        ransac_iters=256))(jnp.asarray(pad_cloud(pts, pad_n)),
+                           jnp.asarray(pts.shape[0]))
+    assert int(n_obj) > 0 and not bool(clipped)
+
+    # oversize object: 300-pt plane + 1500-pt object → 1500 candidates
+    # exceed the 1024-slot buffer
+    plane2 = np.concatenate(
+        [rng.uniform(-0.3, 0.3, (300, 2)),
+         0.5 + rng.normal(size=(300, 1)) * 0.002], axis=1)
+    obj2 = rng.normal(size=(1500, 3)) * 0.05 + np.array([0.0, 0.0, 0.35])
+    pts2 = np.concatenate([plane2, obj2]).astype(np.float32)
+    _, _, n_obj2, clipped2 = jax.jit(lambda p, n: _segment_center_encode(
+        basis, p, n, key, outlier_method="statistical",
+        ransac_iters=256))(jnp.asarray(pad_cloud(pts2, pad_n)),
+                           jnp.asarray(pts2.shape[0]))
+    assert bool(clipped2)
+    assert int(n_obj2) <= 1024  # kept set is bounded by the buffer
