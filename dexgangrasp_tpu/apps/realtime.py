@@ -292,6 +292,57 @@ class RealtimePipeline:
         return self._finalize_frame(self._launch_frame(padded, n_valid,
                                                        seed))
 
+    def step_fused_multi(self, cloud: Optional[np.ndarray] = None,
+                         pad_n: int = 16384, voxel: float = 0.004,
+                         seed: int = 0, max_objects: int = 4,
+                         cluster_radius: float = 0.02,
+                         min_cluster_points: int = 30) -> list:
+        """Whole-SCENE closed-loop iteration: one fused device program
+        segments up to ``max_objects`` objects (plane removal → Euclidean
+        clustering → per-object BPS) and returns a top-k grasp set per
+        object — a list of per-object result dicts (``ok=False`` for
+        empty slots), all outputs materialized in ONE ``jax.device_get``.
+
+        Beyond-reference capability: the reference's apps grasp one
+        segmented object per frame (``dexafford_prompt.py:130-181``)."""
+        import jax
+        import jax.numpy as jnp
+
+        from dexgangrasp_tpu.engine.frame_pipeline import (
+            frame_to_grasps_multi,
+            frame_to_grasps_multi_diffusion,
+        )
+
+        if cloud is None:
+            cloud = self.camera.capture()["points"]
+        padded, n_valid = self._prep_frame(cloud, pad_n, voxel)
+        cfg = self.cfg
+        key = jax.random.PRNGKey(seed)
+        extra = dict(cfg.frame_kwargs or {})
+        for k in ("use_pallas", "use_chain_kernel", "use_ddim_kernel",
+                  "plane_first"):
+            extra.pop(k, None)  # multi path is XLA, plane-first only
+        common = dict(n_samples=cfg.n_samples, top_k=cfg.num_grasps,
+                      max_objects=max_objects,
+                      cluster_radius=cluster_radius,
+                      min_cluster_points=min_cluster_points, **extra)
+        if hasattr(self.engine, "diff_params"):  # diffusion family
+            e = self.engine
+            launched = frame_to_grasps_multi_diffusion(
+                e.model, e.diff_params, e.eva_folded, e.normalizer,
+                e.encoder.basis, jnp.asarray(padded),
+                jnp.asarray(n_valid), key, steps=e.ddim_steps,
+                guidance_scale=e.guidance_scale, z_offset=e.z_offset,
+                **common)
+        else:
+            launched = frame_to_grasps_multi(
+                self.engine.gen_folded, self.engine.eva_folded,
+                self.engine.encoder.basis, jnp.asarray(padded),
+                jnp.asarray(n_valid), key,
+                z_offset=self.engine.z_offset, **common)
+        # identical leading-axis layout to the batched-frames path
+        return self._finalize_frame_batch(launched)
+
     def run_fused(self, frames, pad_n: int = 16384, voxel: float = 0.004,
                   on_result: Optional[Callable[[Dict], None]] = None,
                   depth: int = 2):

@@ -11,11 +11,17 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from dexgangrasp_tpu.core.rotations import euler_to_mat, mat_to_euler
 from dexgangrasp_tpu.core.transforms import hom_from_transl_rot
 
-# disturb by 3 cm and by 0.6 rad per axis (reference utils.py:226)
-_DIST_VEC = jnp.array([0.03, 0.03, 0.03, 0.6, 0.6, 0.6])
+# disturb by 3 cm and by 0.6 rad per axis (reference utils.py:226).
+# Kept as a numpy constant: a module-level jnp.array would initialize the
+# jax backend at IMPORT time — which blocks the whole package import when
+# the axon relay is unreachable (and pins the platform before callers can
+# force CPU).  jnp ops convert it at trace time.
+_DIST_VEC = np.array([0.03, 0.03, 0.03, 0.6, 0.6, 0.6], np.float32)
 
 
 def hard_negative_from_positive(key: jax.Array, transl: jax.Array,

@@ -369,3 +369,161 @@ def frames_to_grasps_diffusion_batch(model, diff_params: dict,
             plane_first=plane_first, refine_steps=refine_steps)
 
     return jax.vmap(one)(points, n_valid, keys)
+
+
+# ------------------------------------------------ multi-object scenes
+#
+# The reference grasps ONE segmented object per frame (its affordance app
+# crops to a single detection first, ``inference/dexafford_prompt.py:
+# 130-181``).  Here the whole tabletop scene runs as one device program:
+# plane removal → Euclidean clustering (ops/perception.py label
+# propagation) → per-object centering + BPS → batched sampling → per-
+# object top-k.  Beyond-reference capability; the batched tail is the
+# same machinery the serving daemon's coalescing path uses.
+
+
+def _segment_multi_encode(basis, points, n_valid, k_seg, max_objects,
+                          cluster_radius=0.02, min_cluster_points=30,
+                          knn_k=20, std_ratio=2.0, plane_thresh=0.01,
+                          ransac_iters=1024, outlier_method="radius",
+                          outlier_radius=0.012, outlier_min_neighbors=6):
+    """Multi-object perception front-end: padded cloud → per-object
+    (bps (K, 4096), centers (K, 3), n_points (K,), clipped (K,)).
+
+    Empty object slots (fewer than ``max_objects`` clusters of ≥
+    ``min_cluster_points``) report n_points = 0 — callers must gate on it
+    (their grasps are garbage, same contract as the single-object
+    n_obj=0 empty-frame case).  ``clipped`` ORs per-object buffer
+    truncation with scene-buffer truncation (see
+    ``_segment_center_encode``)."""
+    from dexgangrasp_tpu.ops.perception import (
+        euclidean_cluster_device,
+        radius_outlier_mask_device,
+        ransac_plane_device,
+        statistical_outlier_mask_device,
+    )
+
+    valid = jnp.arange(points.shape[0]) < n_valid
+    _, plane_inliers = ransac_plane_device(points, n_valid, k_seg,
+                                           plane_thresh, ransac_iters)
+    cand = valid & ~plane_inliers
+    out_size = max(1024, points.shape[0] // 4)
+    buf = compact_masked_points(points, cand, out_size)
+    m = jnp.minimum(jnp.sum(cand), out_size)
+    if outlier_method == "radius":
+        keep = radius_outlier_mask_device(
+            buf, m, radius=outlier_radius,
+            min_neighbors=outlier_min_neighbors)
+    else:
+        keep = statistical_outlier_mask_device(buf, m, k=knn_k,
+                                               std_ratio=std_ratio)
+    labels, roots, _ = euclidean_cluster_device(
+        buf, keep, radius=cluster_radius, min_points=min_cluster_points,
+        max_clusters=max_objects)
+    scene_clipped = jnp.sum(cand) > out_size
+    obj_size = max(512, out_size // 2)
+
+    def per_object(root):
+        mask = keep & (labels == root) & (root >= 0)
+        n_k = jnp.sum(mask)
+        denom = jnp.maximum(n_k.astype(points.dtype), 1.0)
+        center = jnp.sum(jnp.where(mask[:, None], buf, 0.0),
+                         axis=0) / denom
+        packed = compact_masked_points(buf, mask, obj_size)
+        slot_ok = jnp.arange(obj_size) < n_k
+        centered = jnp.where(slot_ok[:, None], packed - center, PAD_VALUE)
+        # batched (vmapped) encode: blocked-XLA path (kernel batching
+        # adds a grid axis whose win is unmeasured — same rule as the
+        # serving daemon's frame-vmap)
+        bps = bps_encode(basis, centered, use_pallas=False)
+        return bps, center, n_k, (n_k > obj_size) | scene_clipped
+
+    return jax.vmap(per_object)(roots)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_samples", "top_k", "max_objects", "min_cluster_points",
+    "ransac_iters", "knn_k", "outlier_method"))
+def frame_to_grasps_multi(gen_folded: dict, eva_folded: dict,
+                          basis: jax.Array, points: jax.Array,
+                          n_valid: jax.Array, key: jax.Array,
+                          n_samples: int = 1000, top_k: int = 10,
+                          max_objects: int = 4,
+                          cluster_radius: float = 0.02,
+                          min_cluster_points: int = 30,
+                          z_offset: float = 0.025,
+                          knn_k: int = 20, std_ratio: float = 2.0,
+                          plane_thresh: float = 0.01,
+                          ransac_iters: int = 1024,
+                          outlier_method: str = "radius",
+                          outlier_radius: float = 0.012,
+                          outlier_min_neighbors: int = 6
+                          ) -> Tuple[Grasps, jax.Array, jax.Array,
+                                     jax.Array]:
+    """Whole-scene GAN/VAE serving: padded (N, 3) cloud → top-k grasps for
+    EACH of up to ``max_objects`` objects in ONE device program.
+
+    Returns (Grasps with leading (max_objects, top_k) axes in each
+    object's centroid frame, centers (max_objects, 3), n_object_points
+    (max_objects,), clipped (max_objects,)).  Empty slots have
+    n_object_points = 0."""
+    from dexgangrasp_tpu.engine.pipeline import sample_and_topk_multi
+
+    k_seg, k_z = jax.random.split(key)
+    bps_b, centers, n_objs, clipped = _segment_multi_encode(
+        basis, points, n_valid, k_seg, max_objects,
+        cluster_radius=cluster_radius,
+        min_cluster_points=min_cluster_points, knn_k=knn_k,
+        std_ratio=std_ratio, plane_thresh=plane_thresh,
+        ransac_iters=ransac_iters, outlier_method=outlier_method,
+        outlier_radius=outlier_radius,
+        outlier_min_neighbors=outlier_min_neighbors)
+    g = sample_and_topk_multi(gen_folded, eva_folded, bps_b, k_z,
+                              n_samples, top_k, z_offset=z_offset)
+    return g, centers, n_objs, clipped
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "model", "n_samples", "top_k", "steps", "guidance_scale",
+    "max_objects", "min_cluster_points", "ransac_iters", "knn_k",
+    "outlier_method"))
+def frame_to_grasps_multi_diffusion(model, diff_params: dict,
+                                    eva_folded: dict, normalizer,
+                                    basis: jax.Array, points: jax.Array,
+                                    n_valid: jax.Array, key: jax.Array,
+                                    n_samples: int = 1000, top_k: int = 10,
+                                    steps: int = 10,
+                                    guidance_scale: float = 0.0,
+                                    max_objects: int = 4,
+                                    cluster_radius: float = 0.02,
+                                    min_cluster_points: int = 30,
+                                    z_offset: float = 0.025,
+                                    knn_k: int = 20, std_ratio: float = 2.0,
+                                    plane_thresh: float = 0.01,
+                                    ransac_iters: int = 1024,
+                                    outlier_method: str = "radius",
+                                    outlier_radius: float = 0.012,
+                                    outlier_min_neighbors: int = 6
+                                    ) -> Tuple[Grasps, jax.Array,
+                                               jax.Array, jax.Array]:
+    """Whole-scene serving with the diffusion family (incl. the guided
+    production recipe): same multi-object front-end, batched DDIM tail
+    (``sample_and_topk_multi_diffusion``)."""
+    from dexgangrasp_tpu.engine.diffusion_pipeline import (
+        sample_and_topk_multi_diffusion,
+    )
+
+    k_seg, k_z = jax.random.split(key)
+    bps_b, centers, n_objs, clipped = _segment_multi_encode(
+        basis, points, n_valid, k_seg, max_objects,
+        cluster_radius=cluster_radius,
+        min_cluster_points=min_cluster_points, knn_k=knn_k,
+        std_ratio=std_ratio, plane_thresh=plane_thresh,
+        ransac_iters=ransac_iters, outlier_method=outlier_method,
+        outlier_radius=outlier_radius,
+        outlier_min_neighbors=outlier_min_neighbors)
+    g = sample_and_topk_multi_diffusion(
+        model, diff_params, eva_folded, normalizer, bps_b, k_z,
+        n_samples, top_k, steps=steps, guidance_scale=guidance_scale,
+        z_offset=z_offset)
+    return g, centers, n_objs, clipped

@@ -187,3 +187,58 @@ def segment_object_device(points: jax.Array, n_valid: jax.Array,
     _, plane_inliers = ransac_plane_device(pts_clean, n_valid, key,
                                            dist_thresh, iterations)
     return keep & ~plane_inliers
+
+
+@functools.partial(jax.jit, static_argnames=("max_clusters", "iterations"))
+def euclidean_cluster_device(points: jax.Array, keep: jax.Array,
+                             radius: float = 0.02, min_points: int = 30,
+                             max_clusters: int = 4, iterations: int = 12
+                             ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Connected-component Euclidean clustering as ONE static-shape XLA
+    program — the multi-object scene front-end (open3d
+    ``cluster_dbscan(eps=radius, min_points)`` semantics for
+    well-separated tabletop objects; the reference's apps assume a single
+    segmented object per frame, ``inference/dexafford_prompt.py:130-181``).
+
+    TPU-idiomatic label propagation with pointer jumping: labels start as
+    each point's own index; every iteration takes the min label over
+    radius-neighbors, then path-compresses ``labels = labels[labels]``
+    twice — so convergence is O(log diameter) iterations, all dense
+    batched ops (one (M, M) adjacency, no data-dependent loops).
+
+    Args:
+      points: (M, 3) compacted candidate buffer (PAD_VALUE padding).
+      keep:   (M,) bool — candidate validity (e.g. the outlier mask).
+
+    Returns (labels, roots, sizes):
+      labels: (M,) int32 — component root index per point (kept points
+              only meaningful).
+      roots:  (max_clusters,) int32 — root indices of the largest
+              components with ≥ min_points, size-descending; -1 = empty
+              slot.
+      sizes:  (max_clusters,) int32 — their sizes (0 for empty slots).
+    """
+    m = points.shape[0]
+    x_sq = jnp.sum(points * points, axis=1)
+    d2 = (x_sq[:, None] + x_sq[None, :]
+          - 2.0 * jnp.matmul(points, points.T,
+                             precision=jax.lax.Precision.HIGHEST))
+    adj = (d2 < radius * radius) & keep[:, None] & keep[None, :]
+    idx = jnp.arange(m, dtype=jnp.int32)
+
+    def body(_, labels):
+        neigh = jnp.min(jnp.where(adj, labels[None, :], m), axis=1)
+        labels = jnp.minimum(labels, neigh.astype(jnp.int32))
+        labels = labels[labels]  # pointer jumping (path compression)
+        return labels[labels]
+
+    labels = jax.lax.fori_loop(0, iterations, body, idx)
+
+    # component sizes at the roots (invalid points contribute nothing)
+    sizes = jnp.zeros((m,), jnp.int32).at[labels].add(
+        keep.astype(jnp.int32))
+    root_sizes = jnp.where((labels == idx) & keep
+                           & (sizes >= min_points), sizes, 0)
+    top_sizes, top_roots = jax.lax.top_k(root_sizes, max_clusters)
+    top_roots = jnp.where(top_sizes > 0, top_roots, -1)
+    return labels, top_roots.astype(jnp.int32), top_sizes

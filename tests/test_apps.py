@@ -667,3 +667,40 @@ def test_grasp_service_concurrent_reloads(engine, basis):
             outs = list(ex.map(lambda i: client.reload(), range(4)))
         assert all(o["ok"] for o in outs)
         assert client.stats()["reloads"] == 4
+
+
+def test_step_fused_multi_two_objects(engine):
+    """Whole-scene app serving: an organized frame with TWO depth blobs →
+    step_fused_multi returns one ok result per object with distinct
+    centroids and per-object goals, empty slots marked ok=False."""
+    local = np.random.default_rng(5)
+    xs, ys = np.meshgrid(np.linspace(-0.4, 0.4, 80),
+                         np.linspace(-0.3, 0.3, 60))
+    frame = np.stack([xs, ys, np.full((60, 80), 0.8)], axis=-1)
+    # smooth blob surfaces (5 mm roughness — a voxel-decimated camera
+    # frame's point spacing; 2 cm roughness would legitimately split a
+    # blob at the default 2 cm cluster radius)
+    frame[10:25, 10:25, 2] -= 0.08 + 0.005 * local.random((15, 15))
+    frame[35:50, 50:70, 2] -= 0.09 + 0.005 * local.random((15, 20))
+    cloud = frame.astype(np.float32)
+
+    pipe = RealtimePipeline(engine, _realtime_cfg(n_samples=32,
+                                                  num_grasps=3))
+    # pad_n must hold the full frame: subsampling a 4800-pt frame into
+    # 2048 slots doubles point spacing past the 2 cm cluster radius
+    out = pipe.step_fused_multi(cloud=cloud, pad_n=8192, voxel=0.004,
+                                seed=0, max_objects=3,
+                                min_cluster_points=25)
+    assert len(out) == 3
+    assert out[0]["ok"] and out[1]["ok"] and not out[2]["ok"]
+    assert out[0]["n_obj"] >= out[1]["n_obj"] > 0
+    # the two object centroids are far apart (distinct blobs)
+    d = np.linalg.norm(np.asarray(out[0]["pc_center"])
+                       - np.asarray(out[1]["pc_center"]))
+    assert d > 0.1
+    for r in out[:2]:
+        assert len(r["goals"]) == 3
+        R = r["filtered"]["rot_matrix"]
+        np.testing.assert_allclose(np.einsum("bij,bkj->bik", R, R),
+                                   np.broadcast_to(np.eye(3), R.shape),
+                                   atol=1e-4)

@@ -138,3 +138,83 @@ def test_clipped_flag_reports_buffer_truncation():
                            jnp.asarray(pts2.shape[0]))
     assert bool(clipped2)
     assert int(n_obj2) <= 1024  # kept set is bounded by the buffer
+
+
+def test_frame_to_grasps_multi_two_objects():
+    """Whole-scene serving: a plane + two separated blobs → one device
+    program returns per-object top-k grasps, centroids near each blob,
+    empty trailing slots, and valid rotations everywhere a slot is
+    occupied."""
+    from dexgangrasp_tpu.engine.frame_pipeline import frame_to_grasps_multi
+
+    (_, gp, gs), _ = init_dexgan(jax.random.PRNGKey(0))
+    _, ep, es = init_evaluator(jax.random.PRNGKey(1))
+    gf = folding.fold_generator(gp, gs)
+    ef = folding.fold_evaluator(ep, es)
+    basis = generate_basis(jax.random.PRNGKey(2), 4096, 0.2)
+
+    local = np.random.default_rng(11)
+    plane = np.concatenate(
+        [local.uniform(-0.3, 0.3, (1600, 2)),
+         0.5 + local.normal(size=(1600, 1)) * 0.002], axis=1)
+    c1, c2 = np.array([0.10, 0.0, 0.35]), np.array([-0.12, 0.05, 0.33])
+    obj1 = local.normal(size=(350, 3)) * 0.012 + c1
+    obj2 = local.normal(size=(220, 3)) * 0.012 + c2
+    pts = np.concatenate([plane, obj1, obj2]).astype(np.float32)
+    padded = pad_cloud(pts, 4096)
+
+    g, centers, n_objs, clipped = frame_to_grasps_multi(
+        gf, ef, basis, jnp.asarray(padded), jnp.asarray(pts.shape[0]),
+        jax.random.PRNGKey(3), n_samples=256, top_k=6, max_objects=3,
+        ransac_iters=256, outlier_method="statistical",
+        cluster_radius=0.02, min_cluster_points=40)
+    centers, n_objs = np.asarray(centers), np.asarray(n_objs)
+
+    assert g.transl.shape == (3, 6, 3)
+    # two occupied slots, size-descending; third empty
+    assert n_objs[0] > 0 and n_objs[1] > 0 and n_objs[2] == 0
+    assert n_objs[0] >= n_objs[1]
+    # slot 0 = larger blob (obj1), slot 1 = obj2
+    assert np.linalg.norm(centers[0] - c1) < 0.02
+    assert np.linalg.norm(centers[1] - c2) < 0.02
+    assert not np.asarray(clipped)[:2].any()
+    for k in range(2):
+        R = np.asarray(g.rot_matrix[k])
+        np.testing.assert_allclose(np.einsum("bij,bkj->bik", R, R),
+                                   np.broadcast_to(np.eye(3), R.shape),
+                                   atol=1e-4)
+        s = np.asarray(g.score[k])
+        assert (np.diff(s) <= 1e-6).all()  # per-object sorted top-k
+
+
+def test_frame_to_grasps_multi_matches_single_on_one_object():
+    """With one object in the scene, the multi program's slot-0 perception
+    (center, object point count) must agree with the single-object
+    program's; both feed the same sampler machinery."""
+    from dexgangrasp_tpu.engine.frame_pipeline import (
+        frame_to_grasps,
+        frame_to_grasps_multi,
+    )
+
+    (_, gp, gs), _ = init_dexgan(jax.random.PRNGKey(0))
+    _, ep, es = init_evaluator(jax.random.PRNGKey(1))
+    gf = folding.fold_generator(gp, gs)
+    ef = folding.fold_evaluator(ep, es)
+    basis = generate_basis(jax.random.PRNGKey(2), 4096, 0.2)
+    padded, n_valid, obj_center = _toy_scene()
+
+    g1, center1, n1, _ = frame_to_grasps(
+        gf, ef, basis, jnp.asarray(padded), jnp.asarray(n_valid),
+        jax.random.PRNGKey(3), n_samples=128, top_k=5, ransac_iters=256,
+        outlier_method="statistical")
+    gm, centers, n_objs, _ = frame_to_grasps_multi(
+        gf, ef, basis, jnp.asarray(padded), jnp.asarray(n_valid),
+        jax.random.PRNGKey(3), n_samples=128, top_k=5, max_objects=2,
+        ransac_iters=256, outlier_method="statistical",
+        min_cluster_points=40)
+
+    assert int(np.asarray(n_objs)[1]) == 0
+    # same object recovered (clustering keeps a connected superset/subset
+    # of the outlier-filtered single-object mask — centers within 2 mm)
+    assert np.linalg.norm(np.asarray(centers[0]) - np.asarray(center1)) < 2e-3
+    assert abs(int(np.asarray(n_objs)[0]) - int(np.asarray(n1))) < 40

@@ -116,3 +116,57 @@ def test_voxel_downsample():
     finally:
         native._lib = native_lib
     assert abs(out2.shape[0] - out.shape[0]) <= 5
+
+
+def test_euclidean_cluster_device_vs_scipy_oracle():
+    """Label-propagation clustering must match scipy connected components
+    on the same radius graph: same partition (up to label names), same
+    top-K component sizes, min_points filtering, and padded/dropped points
+    excluded."""
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    from dexgangrasp_tpu.ops.bps import PAD_VALUE
+    from dexgangrasp_tpu.ops.perception import euclidean_cluster_device
+
+    rng = np.random.default_rng(7)
+    # three blobs of distinct sizes + a 2-point speck (below min_points)
+    blobs = [rng.normal(size=(120, 3)) * 0.008 + c for c in
+             ([0.0, 0.0, 0.3], [0.15, 0.0, 0.3])]
+    blobs.append(rng.normal(size=(60, 3)) * 0.008 + [0.0, 0.18, 0.3])
+    blobs.append(rng.normal(size=(2, 3)) * 0.002 + [0.4, 0.4, 0.3])
+    pts = np.concatenate(blobs).astype(np.float32)
+    m = 512
+    buf = np.full((m, 3), PAD_VALUE, np.float32)
+    buf[:pts.shape[0]] = pts
+    keep = np.zeros((m,), bool)
+    keep[:pts.shape[0]] = True
+    # drop a few points to exercise the keep mask
+    keep[5] = keep[130] = False
+
+    radius, min_points, K = 0.02, 30, 4
+    labels, roots, sizes = jax.jit(
+        lambda b, k: euclidean_cluster_device(
+            b, k, radius=radius, min_points=min_points, max_clusters=K)
+    )(jnp.asarray(buf), jnp.asarray(keep))
+    labels, roots, sizes = map(np.asarray, (labels, roots, sizes))
+
+    # scipy oracle on the identical graph
+    d2 = ((buf[:, None, :] - buf[None, :, :]) ** 2).sum(-1)
+    adj = (d2 < radius * radius) & keep[:, None] & keep[None, :]
+    n_comp, olab = connected_components(csr_matrix(adj), directed=False)
+    ocounts = np.bincount(olab[keep], minlength=n_comp)
+    o_sizes = np.sort(ocounts[ocounts >= min_points])[::-1][:K]
+
+    got_sizes = sizes[sizes > 0]
+    np.testing.assert_array_equal(got_sizes, o_sizes)
+    # partition equality on the returned components
+    for r, s in zip(roots, sizes):
+        if r < 0:
+            continue
+        ours = keep & (labels == r)
+        theirs = keep & (olab == olab[r])
+        np.testing.assert_array_equal(ours, theirs)
+        assert ours.sum() == s
+    # the 2-point speck must not appear as any returned root
+    assert (sizes[sizes > 0] >= min_points).all()
