@@ -305,6 +305,21 @@ class RealtimePipeline:
 
         Beyond-reference capability: the reference's apps grasp one
         segmented object per frame (``dexafford_prompt.py:130-181``)."""
+        if cloud is None:
+            cloud = self.camera.capture()["points"]
+        padded, n_valid = self._prep_frame(cloud, pad_n, voxel)
+        return self._finalize_frame_batch(self._launch_frame_multi(
+            padded, n_valid, seed, max_objects=max_objects,
+            cluster_radius=cluster_radius,
+            min_cluster_points=min_cluster_points))
+
+    def _launch_frame_multi(self, padded: np.ndarray, n_valid: int,
+                            seed: int, max_objects: int = 4,
+                            cluster_radius: float = 0.02,
+                            min_cluster_points: int = 30):
+        """Dispatch the whole-scene program (no materialization — the
+        serving daemon holds its device permit only around launch +
+        finalize, prepping outside it)."""
         import jax
         import jax.numpy as jnp
 
@@ -313,9 +328,6 @@ class RealtimePipeline:
             frame_to_grasps_multi_diffusion,
         )
 
-        if cloud is None:
-            cloud = self.camera.capture()["points"]
-        padded, n_valid = self._prep_frame(cloud, pad_n, voxel)
         cfg = self.cfg
         key = jax.random.PRNGKey(seed)
         extra = dict(cfg.frame_kwargs or {})
@@ -328,20 +340,17 @@ class RealtimePipeline:
                       min_cluster_points=min_cluster_points, **extra)
         if hasattr(self.engine, "diff_params"):  # diffusion family
             e = self.engine
-            launched = frame_to_grasps_multi_diffusion(
+            return frame_to_grasps_multi_diffusion(
                 e.model, e.diff_params, e.eva_folded, e.normalizer,
                 e.encoder.basis, jnp.asarray(padded),
                 jnp.asarray(n_valid), key, steps=e.ddim_steps,
                 guidance_scale=e.guidance_scale, z_offset=e.z_offset,
                 **common)
-        else:
-            launched = frame_to_grasps_multi(
-                self.engine.gen_folded, self.engine.eva_folded,
-                self.engine.encoder.basis, jnp.asarray(padded),
-                jnp.asarray(n_valid), key,
-                z_offset=self.engine.z_offset, **common)
-        # identical leading-axis layout to the batched-frames path
-        return self._finalize_frame_batch(launched)
+        return frame_to_grasps_multi(
+            self.engine.gen_folded, self.engine.eva_folded,
+            self.engine.encoder.basis, jnp.asarray(padded),
+            jnp.asarray(n_valid), key,
+            z_offset=self.engine.z_offset, **common)
 
     def run_fused(self, frames, pad_n: int = 16384, voxel: float = 0.004,
                   on_result: Optional[Callable[[Dict], None]] = None,

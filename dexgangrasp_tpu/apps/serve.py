@@ -160,13 +160,15 @@ class GraspServer:
                     self.end_headers()
                     self.wfile.write(out)
                     return
-                if self.path != "/grasps":
+                if self.path not in ("/grasps", "/scene"):
                     self.send_error(404)
                     return
                 n = int(self.headers.get("Content-Length", 0))
                 try:
                     req = _unpack_npz(self.rfile.read(n))
-                    out = outer._serve_one(req)
+                    out = (outer._serve_scene(req)
+                           if self.path == "/scene"
+                           else outer._serve_one(req))
                 except Exception as e:  # surface as a 400, keep serving
                     with outer._stats_lock:
                         outer._n_errors += 1
@@ -274,6 +276,44 @@ class GraspServer:
             joint_conf=np.asarray(f["joint_conf"], np.float32),
             score=np.asarray(f["score"], np.float32),
             goals_json=np.asarray(json.dumps(res["goals"])))
+
+    def _serve_scene(self, req: dict) -> bytes:
+        """Whole-scene request (POST /scene): one frame in, up to
+        ``max_objects`` per-object grasp sets out — ONE device program
+        segments every object (plane removal → Euclidean clustering →
+        per-object BPS → batched sampling; engine/frame_pipeline.py
+        ``frame_to_grasps_multi``).  Scene requests don't coalesce (each
+        is already a batched program); they share the device permits with
+        the per-object path.  Beyond-reference capability (the reference
+        serves one segmented object per process-invocation,
+        ``dexafford_prompt.py:130-181``)."""
+        t0 = time.perf_counter()
+        cloud = np.asarray(req["points"], np.float32)
+        seed = int(req["seed"]) if "seed" in req else self._next_seed()
+        max_objects = int(req.get("max_objects", 4))
+        padded, n_valid = self.pipeline._prep_frame(cloud, self.pad_n,
+                                                    self.voxel)
+        with self._device_sem:
+            results = self.pipeline._finalize_frame_batch(
+                self.pipeline._launch_frame_multi(
+                    padded, n_valid, seed, max_objects=max_objects))
+        with self._stats_lock:
+            self._n_requests += 1
+            # a scene with NO object found is the not-ok case (empty
+            # trailing slots are normal, not failures)
+            self._n_not_ok += 0 if any(r["ok"] for r in results) else 1
+            self._lat_window.append(time.perf_counter() - t0)
+        f = {k: np.stack([np.asarray(r["filtered"][k], np.float32)
+                          for r in results])
+             for k in ("transl", "rot_matrix", "joint_conf", "score")}
+        return _pack_npz(
+            ok=np.asarray([r["ok"] for r in results]),
+            n_obj=np.asarray([r["n_obj"] for r in results]),
+            pc_center=np.stack([np.asarray(r["pc_center"], np.float32)
+                                for r in results]),
+            goals_json=np.asarray(json.dumps([r["goals"]
+                                              for r in results])),
+            **f)
 
     # ------------------------------------------ request coalescing path
 
@@ -415,6 +455,28 @@ class GraspServiceClient:
         out["n_obj"] = int(out["n_obj"])
         out["goals"] = json.loads(str(out.pop("goals_json")))
         return out
+
+    def scene(self, points: np.ndarray, seed: Optional[int] = None,
+              max_objects: int = 4) -> list:
+        """Whole-scene request: one frame in → list of per-object result
+        dicts (empty slots have ok=False), from ONE device program."""
+        arrays = {"points": np.asarray(points, np.float32),
+                  "max_objects": np.asarray(max_objects)}
+        if seed is not None:
+            arrays["seed"] = np.asarray(seed)
+        req = Request(self.endpoint + "/scene", data=_pack_npz(**arrays),
+                      headers={"Content-Type": "application/x-npz"})
+        with urlopen(req, timeout=self.timeout_s) as resp:
+            if resp.status != 200:
+                raise RuntimeError(f"grasp service returned {resp.status}")
+            out = _unpack_npz(resp.read())
+        goals = json.loads(str(out.pop("goals_json")))
+        return [{"ok": bool(out["ok"][k]), "n_obj": int(out["n_obj"][k]),
+                 "pc_center": out["pc_center"][k], "goals": goals[k],
+                 "filtered": {key: out[key][k] for key in
+                              ("transl", "rot_matrix", "joint_conf",
+                               "score")}}
+                for k in range(len(goals))]
 
 
 def main():

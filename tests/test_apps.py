@@ -704,3 +704,36 @@ def test_step_fused_multi_two_objects(engine):
         np.testing.assert_allclose(np.einsum("bij,bkj->bik", R, R),
                                    np.broadcast_to(np.eye(3), R.shape),
                                    atol=1e-4)
+
+
+def test_grasp_service_scene_endpoint(engine):
+    """POST /scene: one frame with two blobs → per-object grasp sets over
+    the wire; /grasps and /stats still serve alongside."""
+    from dexgangrasp_tpu.apps.serve import GraspServer, GraspServiceClient
+
+    local = np.random.default_rng(5)
+    xs, ys = np.meshgrid(np.linspace(-0.4, 0.4, 80),
+                         np.linspace(-0.3, 0.3, 60))
+    frame = np.stack([xs, ys, np.full((60, 80), 0.8)], axis=-1)
+    frame[10:25, 10:25, 2] -= 0.08 + 0.005 * local.random((15, 15))
+    frame[35:50, 50:70, 2] -= 0.09 + 0.005 * local.random((15, 20))
+    cloud = frame.astype(np.float32)
+
+    pipe = RealtimePipeline(engine, _realtime_cfg(n_samples=32,
+                                                  num_grasps=3))
+    with GraspServer(pipe, pad_n=8192, voxel=0.004) as srv:
+        client = GraspServiceClient(srv.endpoint)
+        out = client.scene(cloud, seed=0, max_objects=3)
+        assert len(out) == 3
+        assert out[0]["ok"] and out[1]["ok"] and not out[2]["ok"]
+        assert out[0]["n_obj"] >= out[1]["n_obj"] > 0
+        d = np.linalg.norm(out[0]["pc_center"] - out[1]["pc_center"])
+        assert d > 0.1
+        for r in out[:2]:
+            assert len(r["goals"]) == 3
+            assert r["filtered"]["transl"].shape == (3, 3)
+        # single-object endpoint still fine on the same daemon
+        single = client(cloud, seed=1)
+        assert single["ok"]
+        st = client.stats()
+        assert st["requests"] == 2 and st["errors"] == 0
