@@ -41,8 +41,6 @@ python bench_closed_loop.py --family guided --multi 3 --out runs/closed_loop_r4.
 
 # 4. 8x scaling, budget-matched (VERDICT r3 next-6): steps ∝ data
 #    (64-object baseline 60k/40k → 512 objects = 8x)
-python -m dexgangrasp_tpu.tools.evaluator_study --data-dir /tmp/dexgg_8x \
-  --steps 1000 --out /tmp/_dsgen_8x --n-objects 512 || true  # dataset gen only
 python -m dexgangrasp_tpu.tools.scaling_study \
   --scales 512:/tmp/dexgg_8x --eva-steps 480000 --diff-steps 320000 \
   --out runs/scaling_8x_matched
