@@ -73,10 +73,33 @@ def _probe_backend_with_retry(total_s: float = 300.0,
         delay = min(delay * 2, 40.0)
 
 
+def _warm_backend_bounded(timeout_s: float = 240.0) -> bool:
+    """Memoize jax.devices() in THIS process with a bounded wait, so a
+    relay drop between the subprocess probe and the parent's first device
+    use can't hang the driver (the hang moves here, where it's bounded)."""
+    import threading
+
+    ok = []
+
+    def warm():
+        try:
+            import jax
+
+            jax.devices()
+            ok.append(True)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=warm, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
     import functools
 
-    if not _probe_backend_with_retry():
+    if not _probe_backend_with_retry() or not _warm_backend_bounded():
         print(json.dumps({
             "error": "accelerator backend unreachable (axon relay outage,"
                      " retried ~5 min) — no measurement taken; see runs/ +"

@@ -68,15 +68,10 @@ def build_pipeline(family: str):
         _, ep, es = init_evaluator(jax.random.PRNGKey(1))
         engine = GraspEngine(gp, gs, ep, es, cloud_pad=16384)
     elif family in ("vae", "vae_frontier"):
-        import os
-
-        from dexgangrasp_tpu.cli import load_engine
+        from dexgangrasp_tpu.cli import load_vae_bench_engine
 
         n_samples = 1000  # head-to-head with the diffusion rows
-        vae_ckpt = "runs/vae_study/30000_vae_net.npz"
-        engine = load_engine(
-            vae_ckpt if os.path.exists(vae_ckpt) else None, None,
-            model="vae",
+        engine = load_vae_bench_engine(
             refine_steps=10 if family == "vae_frontier" else 0)
     else:
         from dexgangrasp_tpu.engine.diffusion_pipeline import DiffusionEngine
@@ -186,9 +181,15 @@ def main():
         lat.append(time.perf_counter() - t_capture[len(lat)])
     n_done = len(lat)
     dt_overlap = (time.perf_counter() - t0) / n_done
+    import math
+
     lat_sorted = sorted(lat)
     lat_p50 = lat_sorted[n_done // 2]
-    lat_p95 = lat_sorted[max(0, int(n_done * 0.95) - 1)]
+    # nearest-rank p95 (ceil, not floor: at n=10 the p95 IS the max —
+    # with depth-2 pipelining that max is exactly the stale-frame case
+    # this metric exists to expose)
+    lat_p95 = lat_sorted[min(n_done - 1,
+                             max(0, math.ceil(0.95 * n_done) - 1))]
 
     # host-prep-only cost, for the max(host, device) bound
     t0 = time.perf_counter()

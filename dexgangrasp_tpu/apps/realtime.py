@@ -337,7 +337,9 @@ class RealtimePipeline:
         common = dict(n_samples=cfg.n_samples, top_k=cfg.num_grasps,
                       max_objects=max_objects,
                       cluster_radius=cluster_radius,
-                      min_cluster_points=min_cluster_points, **extra)
+                      min_cluster_points=min_cluster_points,
+                      refine_steps=getattr(self.engine, "refine_steps", 0),
+                      **extra)
         if hasattr(self.engine, "diff_params"):  # diffusion family
             e = self.engine
             return frame_to_grasps_multi_diffusion(

@@ -79,10 +79,16 @@ class GraspServer:
     def __init__(self, pipeline, host: str = "127.0.0.1", port: int = 0,
                  pad_n: int = 16384, voxel: float = 0.006,
                  max_batch: int = 1, batch_window_ms: float = 2.0,
-                 engine_factory=None, max_inflight: int = 2):
+                 engine_factory=None, max_inflight: int = 2,
+                 scene_max_objects: int = 4):
         self.pipeline = pipeline
         self.pad_n = pad_n
         self.voxel = voxel
+        # /scene always compiles ONE program shape (max_objects is a jit
+        # static arg; a client-controlled value would recompile inside
+        # the device-permit region — minutes through the relay on a cold
+        # shape).  Client requests for fewer objects trim the response.
+        self.scene_max_objects = int(scene_max_objects)
         # hot reload: factory(gen_path, eva_path) -> engine; the daemon
         # swaps pipeline.engine in place (POST /reload) — same program
         # shapes, so no recompile, and in-flight frames finish on the
@@ -239,9 +245,14 @@ class GraspServer:
                 "batch_size_hist": dict(sorted(self._batch_hist.items())),
             }
         if lat:
+            import math
+
             snap["p50_ms"] = round(lat[len(lat) // 2] * 1e3, 1)
-            snap["p95_ms"] = round(lat[max(0, int(len(lat) * 0.95) - 1)]
-                                   * 1e3, 1)
+            # nearest-rank (ceil) p95 — int(n*0.95)-1 understates at
+            # small n (reports p90 at n=10)
+            snap["p95_ms"] = round(
+                lat[min(len(lat) - 1,
+                        max(0, math.ceil(0.95 * len(lat)) - 1))] * 1e3, 1)
         return snap
 
     def _serve_one(self, req: dict) -> bytes:
@@ -290,13 +301,18 @@ class GraspServer:
         t0 = time.perf_counter()
         cloud = np.asarray(req["points"], np.float32)
         seed = int(req["seed"]) if "seed" in req else self._next_seed()
-        max_objects = int(req.get("max_objects", 4))
+        # the program always runs at the server's compiled max_objects;
+        # the client's value only trims the response (see __init__)
+        k_req = min(int(req.get("max_objects", self.scene_max_objects)),
+                    self.scene_max_objects)
         padded, n_valid = self.pipeline._prep_frame(cloud, self.pad_n,
                                                     self.voxel)
         with self._device_sem:
             results = self.pipeline._finalize_frame_batch(
                 self.pipeline._launch_frame_multi(
-                    padded, n_valid, seed, max_objects=max_objects))
+                    padded, n_valid, seed,
+                    max_objects=self.scene_max_objects))
+        results = results[:max(1, k_req)]
         with self._stats_lock:
             self._n_requests += 1
             # a scene with NO object found is the not-ok case (empty

@@ -205,6 +205,24 @@ def load_engine(gen_path, eva_path, basis_path=None, model: str = "gan",
                                         refine_steps=refine_steps)
 
 
+def load_vae_bench_engine(refine_steps: int = 0):
+    """Shared bench/serving factory for the cVAE family rows
+    (bench_closed_loop / tools/serve_bench): loads the committed VAE
+    study checkpoint resolved relative to the REPO ROOT (so benches work
+    from any cwd), warning loudly when it falls back to fresh-initialized
+    decoder weights instead of silently mislabeling the row."""
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = os.path.join(root, "runs", "vae_study", "30000_vae_net.npz")
+    if not os.path.exists(ckpt):
+        print("warning: VAE study checkpoint missing at "
+              f"{ckpt}; benching fresh-initialized decoder weights",
+              file=sys.stderr)
+        ckpt = None
+    return load_engine(ckpt, None, model="vae", refine_steps=refine_steps)
+
+
 def run_filter(engine, bps, grasps, n_samples, thresh_list, use_disc,
                verbose=True):
     """Reference 3-stage filter (eval.py:139-204)."""

@@ -443,7 +443,7 @@ def _segment_multi_encode(basis, points, n_valid, k_seg, max_objects,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_samples", "top_k", "max_objects", "min_cluster_points",
-    "ransac_iters", "knn_k", "outlier_method"))
+    "ransac_iters", "knn_k", "outlier_method", "refine_steps"))
 def frame_to_grasps_multi(gen_folded: dict, eva_folded: dict,
                           basis: jax.Array, points: jax.Array,
                           n_valid: jax.Array, key: jax.Array,
@@ -457,7 +457,8 @@ def frame_to_grasps_multi(gen_folded: dict, eva_folded: dict,
                           ransac_iters: int = 1024,
                           outlier_method: str = "radius",
                           outlier_radius: float = 0.012,
-                          outlier_min_neighbors: int = 6
+                          outlier_min_neighbors: int = 6,
+                          refine_steps: int = 0
                           ) -> Tuple[Grasps, jax.Array, jax.Array,
                                      jax.Array]:
     """Whole-scene GAN/VAE serving: padded (N, 3) cloud → top-k grasps for
@@ -466,8 +467,13 @@ def frame_to_grasps_multi(gen_folded: dict, eva_folded: dict,
     Returns (Grasps with leading (max_objects, top_k) axes in each
     object's centroid frame, centers (max_objects, 3), n_object_points
     (max_objects,), clipped (max_objects,)).  Empty slots have
-    n_object_points = 0."""
-    from dexgangrasp_tpu.engine.pipeline import sample_and_topk_multi
+    n_object_points = 0.  ``refine_steps > 0`` fuses the same per-object
+    refine→rescore→top-k frontier tail the single-object program serves
+    (semantics match: refine all n, THEN top-k)."""
+    from dexgangrasp_tpu.engine.pipeline import (
+        sample_and_topk_multi,
+        sample_refine_rescore,
+    )
 
     k_seg, k_z = jax.random.split(key)
     bps_b, centers, n_objs, clipped = _segment_multi_encode(
@@ -478,15 +484,26 @@ def frame_to_grasps_multi(gen_folded: dict, eva_folded: dict,
         ransac_iters=ransac_iters, outlier_method=outlier_method,
         outlier_radius=outlier_radius,
         outlier_min_neighbors=outlier_min_neighbors)
-    g = sample_and_topk_multi(gen_folded, eva_folded, bps_b, k_z,
-                              n_samples, top_k, z_offset=z_offset)
+    if refine_steps:
+        keys = jax.random.split(k_z, bps_b.shape[0])
+
+        def per_object(bps, k):
+            g, _ = sample_refine_rescore(
+                gen_folded, eva_folded, bps, k, n_samples, top_k,
+                refine_steps=refine_steps, z_offset=z_offset)
+            return g
+
+        g = jax.vmap(per_object)(bps_b, keys)
+    else:
+        g = sample_and_topk_multi(gen_folded, eva_folded, bps_b, k_z,
+                                  n_samples, top_k, z_offset=z_offset)
     return g, centers, n_objs, clipped
 
 
 @functools.partial(jax.jit, static_argnames=(
     "model", "n_samples", "top_k", "steps", "guidance_scale",
     "max_objects", "min_cluster_points", "ransac_iters", "knn_k",
-    "outlier_method"))
+    "outlier_method", "refine_steps"))
 def frame_to_grasps_multi_diffusion(model, diff_params: dict,
                                     eva_folded: dict, normalizer,
                                     basis: jax.Array, points: jax.Array,
@@ -503,14 +520,18 @@ def frame_to_grasps_multi_diffusion(model, diff_params: dict,
                                     ransac_iters: int = 1024,
                                     outlier_method: str = "radius",
                                     outlier_radius: float = 0.012,
-                                    outlier_min_neighbors: int = 6
+                                    outlier_min_neighbors: int = 6,
+                                    refine_steps: int = 0
                                     ) -> Tuple[Grasps, jax.Array,
                                                jax.Array, jax.Array]:
     """Whole-scene serving with the diffusion family (incl. the guided
     production recipe): same multi-object front-end, batched DDIM tail
-    (``sample_and_topk_multi_diffusion``)."""
+    (``sample_and_topk_multi_diffusion``); ``refine_steps > 0`` fuses
+    the per-object composed-frontier tail
+    (``sample_refine_rescore_diffusion``)."""
     from dexgangrasp_tpu.engine.diffusion_pipeline import (
         sample_and_topk_multi_diffusion,
+        sample_refine_rescore_diffusion,
     )
 
     k_seg, k_z = jax.random.split(key)
@@ -522,8 +543,21 @@ def frame_to_grasps_multi_diffusion(model, diff_params: dict,
         ransac_iters=ransac_iters, outlier_method=outlier_method,
         outlier_radius=outlier_radius,
         outlier_min_neighbors=outlier_min_neighbors)
-    g = sample_and_topk_multi_diffusion(
-        model, diff_params, eva_folded, normalizer, bps_b, k_z,
-        n_samples, top_k, steps=steps, guidance_scale=guidance_scale,
-        z_offset=z_offset)
+    if refine_steps:
+        keys = jax.random.split(k_z, bps_b.shape[0])
+
+        def per_object(bps, k):
+            g, _ = sample_refine_rescore_diffusion(
+                model, diff_params, eva_folded, normalizer, bps, k,
+                n_samples, top_k, steps=steps,
+                refine_steps=refine_steps,
+                guidance_scale=guidance_scale, z_offset=z_offset)
+            return g
+
+        g = jax.vmap(per_object)(bps_b, keys)
+    else:
+        g = sample_and_topk_multi_diffusion(
+            model, diff_params, eva_folded, normalizer, bps_b, k_z,
+            n_samples, top_k, steps=steps, guidance_scale=guidance_scale,
+            z_offset=z_offset)
     return g, centers, n_objs, clipped

@@ -87,22 +87,27 @@ def run(data_dir: str, diff_ckpt: str, eva_ckpt: str, out_path: str,
             except ValueError:
                 rpasses.append(0.0)
 
+    # filtered-oracle semantics: the mean runs over views that actually
+    # served grasps (zero-yield views have no success to average); yield
+    # (*_pass) runs over ALL views.  NaN-safe when every view zero-yields.
+    fmean = lambda xs: round(float(np.mean(xs)), 4) if xs else 0.0
     rep = {"pipeline": (f"guided DDIM-{steps} (scale {scale}) + 3-stage "
                         "filter" if model == "diffusion"
                         else f"{model} sampler + 3-stage filter"),
            "model": model,
            "data_dir": data_dir, "diff_ckpt": diff_ckpt, "eva_ckpt": eva_ckpt,
            "use_guided_kernel": use_guided_kernel,
-           "guided_oracle": round(float(np.mean(rates)), 4),
-           "guided_filtered_oracle": round(float(np.mean(frates)), 4),
-           "filter_pass": round(float(np.mean(passes)), 4),
+           "guided_oracle": fmean(rates),
+           "guided_filtered_oracle": fmean(frates),
+           "filtered_views": len(frates),
+           "filter_pass": fmean(passes),
            "n_views": len(views)}
     if refine_steps:
         rep["refine_steps"] = refine_steps
-        rep["guided_refined_oracle"] = round(float(np.mean(rrates)), 4)
-        rep["guided_refined_filtered_oracle"] = round(
-            float(np.mean(rfrates)), 4)
-        rep["refined_filter_pass"] = round(float(np.mean(rpasses)), 4)
+        rep["guided_refined_oracle"] = fmean(rrates)
+        rep["guided_refined_filtered_oracle"] = fmean(rfrates)
+        rep["refined_filtered_views"] = len(rfrates)
+        rep["refined_filter_pass"] = fmean(rpasses)
     print(json.dumps(rep), flush=True)
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:

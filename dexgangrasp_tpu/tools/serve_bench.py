@@ -51,12 +51,9 @@ def build_pipeline(family: str, n_samples: int):
         _, ep, es = init_evaluator(jax.random.PRNGKey(1))
         engine = GraspEngine(gp, gs, ep, es, cloud_pad=8192)
     elif family in ("vae", "vae_frontier"):
-        from dexgangrasp_tpu.cli import load_engine
+        from dexgangrasp_tpu.cli import load_vae_bench_engine
 
-        vae_ckpt = "runs/vae_study/30000_vae_net.npz"
-        engine = load_engine(
-            vae_ckpt if os.path.exists(vae_ckpt) else None, None,
-            model="vae",
+        engine = load_vae_bench_engine(
             refine_steps=10 if family == "vae_frontier" else 0)
     else:
         from dexgangrasp_tpu.engine.diffusion_pipeline import DiffusionEngine

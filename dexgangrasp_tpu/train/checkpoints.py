@@ -96,9 +96,13 @@ def _save_pytrees_orbax(path: str, trees: Dict[str, Any],
         pickle.dump(structs, f)
     with open(os.path.join(tmp, "dexgg_meta.json"), "w") as f:
         json.dump(meta or {}, f)
-    if os.path.isdir(old):
-        shutil.rmtree(old)
     if os.path.isdir(path):
+        # only displace a still-live .old when a NEW complete checkpoint
+        # sits at ``path``; if ``path`` is absent (recovering from a crash
+        # mid-commit), the surviving .old stays untouched until the new
+        # checkpoint is in place
+        if os.path.isdir(old):
+            shutil.rmtree(old)
         os.rename(path, old)
     os.rename(tmp, path)
     if os.path.isdir(old):
@@ -124,6 +128,11 @@ def _load_pytrees_orbax(path: str) -> Tuple[Dict[str, Any], dict]:
 
 
 def load_pytrees(path: str) -> Tuple[Dict[str, Any], dict]:
+    if not os.path.exists(path) and os.path.isdir(path + ".old"):
+        # crash recovery: a save that died between rename(path, .old) and
+        # rename(tmp, path) leaves the previous complete checkpoint at
+        # .old — serve it rather than failing
+        path = path + ".old"
     if os.path.isdir(path):
         return _load_pytrees_orbax(path)
     z = np.load(path, allow_pickle=False)

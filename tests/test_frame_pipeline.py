@@ -218,3 +218,36 @@ def test_frame_to_grasps_multi_matches_single_on_one_object():
     # of the outlier-filtered single-object mask — centers within 2 mm)
     assert np.linalg.norm(np.asarray(centers[0]) - np.asarray(center1)) < 2e-3
     assert abs(int(np.asarray(n_objs)[0]) - int(np.asarray(n1))) < 40
+
+
+def test_frame_to_grasps_multi_refine_tail_live():
+    """The whole-scene program must honor refine_steps (frontier parity
+    with the single-object path): refined output differs from unrefined
+    for the same key, rotations stay valid, empty slots stay empty."""
+    from dexgangrasp_tpu.engine.frame_pipeline import frame_to_grasps_multi
+
+    (_, gp, gs), _ = init_dexgan(jax.random.PRNGKey(0))
+    _, ep, es = init_evaluator(jax.random.PRNGKey(1))
+    gf = folding.fold_generator(gp, gs)
+    ef = folding.fold_evaluator(ep, es)
+    basis = generate_basis(jax.random.PRNGKey(2), 4096, 0.2)
+    padded, n_valid, _ = _toy_scene()
+
+    common = dict(n_samples=64, top_k=4, max_objects=2, ransac_iters=256,
+                  outlier_method="statistical", min_cluster_points=40)
+    g0, _, n0, _ = frame_to_grasps_multi(
+        gf, ef, basis, jnp.asarray(padded), jnp.asarray(n_valid),
+        jax.random.PRNGKey(3), **common)
+    g1, _, n1, _ = frame_to_grasps_multi(
+        gf, ef, basis, jnp.asarray(padded), jnp.asarray(n_valid),
+        jax.random.PRNGKey(3), refine_steps=3, **common)
+
+    np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
+    assert int(np.asarray(n1)[0]) > 0
+    # refinement moved the slot-0 grasps
+    assert np.max(np.abs(np.asarray(g1.transl[0])
+                         - np.asarray(g0.transl[0]))) > 0
+    R = np.asarray(g1.rot_matrix[0])
+    np.testing.assert_allclose(np.einsum("bij,bkj->bik", R, R),
+                               np.broadcast_to(np.eye(3), R.shape),
+                               atol=1e-4)
