@@ -737,3 +737,22 @@ def test_grasp_service_scene_endpoint(engine):
         assert single["ok"]
         st = client.stats()
         assert st["requests"] == 2 and st["errors"] == 0
+
+
+def test_grasp_service_scene_clamps_max_objects(engine):
+    """/scene must never compile a client-chosen program shape: requests
+    above the server's compiled scene_max_objects are clamped (response
+    trimmed), requests below get a trimmed response."""
+    from dexgangrasp_tpu.apps.serve import GraspServer, GraspServiceClient
+
+    cloud = _organized_test_frame()
+    pipe = RealtimePipeline(engine, _realtime_cfg(n_samples=32,
+                                                  num_grasps=3))
+    with GraspServer(pipe, pad_n=8192, voxel=0.004,
+                     scene_max_objects=2) as srv:
+        client = GraspServiceClient(srv.endpoint)
+        out_big = client.scene(cloud, seed=0, max_objects=8)
+        assert len(out_big) == 2  # clamped to the compiled shape
+        out_small = client.scene(cloud, seed=0, max_objects=1)
+        assert len(out_small) == 1
+        assert out_small[0]["ok"]
