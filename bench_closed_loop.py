@@ -19,6 +19,12 @@ Families (``--family``):
                  is generator-shaped; engine loads runs/vae_study weights
                  when present), 1000 samples (VERDICT r3 next-4)
   vae_frontier — vae + fused 10-step evaluator-gradient refinement
+  distill      — one-step student distilled from the guided-DDIM-10
+                 teacher (train/distill.py; runs/distill_study weights),
+                 1000 samples
+  distill_frontier — distill + fused 10-step refinement (the distilled
+                 frontier: 1 denoiser eval replaces the 10-step guided
+                 scan, refinement recovers the quality tail)
 
 Reports per-frame capture→publish latency p50/p95 alongside fps: depth-2
 dispatch pipelining buys throughput by letting a frame wait one slot
@@ -73,6 +79,12 @@ def build_pipeline(family: str):
         n_samples = 1000  # head-to-head with the diffusion rows
         engine = load_vae_bench_engine(
             refine_steps=10 if family == "vae_frontier" else 0)
+    elif family in ("distill", "distill_frontier"):
+        from dexgangrasp_tpu.cli import load_distill_bench_engine
+
+        n_samples = 1000  # head-to-head with the diffusion rows
+        engine = load_distill_bench_engine(
+            refine_steps=10 if family == "distill_frontier" else 0)
     else:
         from dexgangrasp_tpu.engine.diffusion_pipeline import DiffusionEngine
 
@@ -92,13 +104,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family",
                     choices=("gan", "diffusion", "guided", "frontier",
-                             "vae", "vae_frontier"),
+                             "vae", "vae_frontier", "distill",
+                             "distill_frontier"),
                     default="gan",
                     help="frontier = guided DDIM-10 + fused 10-step "
                          "evaluator-gradient refinement (the composed "
                          "recipe, runs/best_pipeline_refined.json); "
                          "vae[_frontier] = cVAE decoder (+ fused "
-                         "refinement) through the GAN frame program")
+                         "refinement) through the GAN frame program; "
+                         "distill[_frontier] = one-step student distilled "
+                         "from the guided-DDIM teacher (train/distill.py)")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--multi", type=int, default=0, metavar="K",
                     help="whole-scene serving: put K objects in the frame "

@@ -190,15 +190,19 @@ def load_engine(gen_path, eva_path, basis_path=None, model: str = "gan",
     """Thin wrapper over the engine loaders (kept as the CLI's loading
     seam; apps import it by this name).  ``model``: 'gan'/'vae' checkpoints
     serve through GraspEngine (the VAE decoder is generator-shaped);
-    'diffusion' through DiffusionEngine (same serving surface).
+    'diffusion' through DiffusionEngine (same serving surface);
+    'student' through DiffusionEngine with the distilled one-step sampler
+    (train/distill.py — distill checkpoints also auto-detect via their
+    family='distill' metadata under model='diffusion').
     ``guidance_scale`` > 0 (diffusion only) turns on evaluator-guided DDIM
     (engine/diffusion_pipeline.sample_guided)."""
-    if model == "diffusion":
+    if model in ("diffusion", "student"):
         from dexgangrasp_tpu.engine.diffusion_pipeline import DiffusionEngine
 
+        kw = {"student": True} if model == "student" else {}
         return DiffusionEngine.from_checkpoints(
             gen_path, eva_path, basis_path,
-            guidance_scale=guidance_scale, refine_steps=refine_steps)
+            guidance_scale=guidance_scale, refine_steps=refine_steps, **kw)
     from dexgangrasp_tpu.engine.pipeline import GraspEngine
 
     return GraspEngine.from_checkpoints(gen_path, eva_path, basis_path,
@@ -221,6 +225,28 @@ def load_vae_bench_engine(refine_steps: int = 0):
               file=sys.stderr)
         ckpt = None
     return load_engine(ckpt, None, model="vae", refine_steps=refine_steps)
+
+
+def load_distill_bench_engine(refine_steps: int = 0):
+    """Bench/serving factory for the distilled one-step student family:
+    loads the committed distill-study checkpoint (teacher = guided
+    DDIM-10; train/distill.py) resolved relative to the repo root, with a
+    loud fallback to fresh default weights so a missing artifact can't
+    silently mislabel a bench row (same contract as
+    ``load_vae_bench_engine``)."""
+    import glob
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hits = sorted(glob.glob(os.path.join(root, "runs", "distill_study",
+                                         "*_student_net.npz")))
+    ckpt = hits[-1] if hits else None
+    if ckpt is None:
+        print("warning: distill study checkpoint missing under "
+              f"{root}/runs/distill_study; benching fresh-initialized "
+              "student weights", file=sys.stderr)
+    return load_engine(ckpt, None, model="student",
+                       refine_steps=refine_steps)
 
 
 def run_filter(engine, bps, grasps, n_samples, thresh_list, use_disc,

@@ -28,7 +28,8 @@ def sample_guided(model: DexDiffuser, diff_params: dict, eva_folded: dict,
                   normalizer, bps: jax.Array, key: jax.Array, n: int,
                   steps: int = 50, guidance_scale: float = 1.0,
                   grad_clip: float = 1.0,
-                  z_offset: float = 0.025) -> jax.Array:
+                  z_offset: float = 0.025,
+                  g_init: jax.Array = None) -> jax.Array:
     """Evaluator-guided DDIM: (4096,) bps → (n, g_dim) normalized grasps.
 
     Classifier guidance (Dhariwal & Nichol, arXiv:2105.05233) with the
@@ -49,10 +50,16 @@ def sample_guided(model: DexDiffuser, diff_params: dict, eva_folded: dict,
     algebraically identical).  Gradients are per-sample norm-clipped to
     ``grad_clip`` (normalized-space units) and weighted by (1 - ᾱ_t) so
     guidance is strong while the estimate is coarse and gentle near t=0.
+
+    ``g_init`` (n, g_dim), if given, replaces the internal N(0, I) draw —
+    the DDIM trajectory is deterministic given its start, so an explicit
+    start makes the (noise → endpoint) map pairable for distillation
+    (train/distill.py) without relying on PRNG-call-order coupling.
     """
     cond = model.embed_object(diff_params, bps)
     ectx = folding.evaluator_object_context(eva_folded, bps)
-    g = jax.random.normal(key, (n, model.g_dim), bps.dtype)
+    g = (jax.random.normal(key, (n, model.g_dim), bps.dtype)
+         if g_init is None else g_init.astype(bps.dtype))
     ts = jnp.linspace(1.0, 0.0, steps + 1, dtype=bps.dtype)
     from dexgangrasp_tpu.models.diffusion import cosine_alpha_bar
 
@@ -161,6 +168,35 @@ def sample_and_score_guided(model: DexDiffuser, diff_params: dict,
     g = sample_guided(model, diff_params, eva_folded, normalizer, bps, key,
                       n, steps=steps, guidance_scale=guidance_scale,
                       grad_clip=grad_clip, z_offset=z_offset)
+    if normalizer is not None:
+        g = normalizer.denormalize(g)
+    rot6, transl, joints = split_grasp_vector(g, model.n_joints)
+    rot = rot_matrix_from_ortho6d(rot6)
+    transl = translate_along_axis(transl, rot, 0, z_offset)
+    pose = jnp.concatenate([rot.reshape(n, 9), transl], axis=1)
+    ectx = folding.evaluator_object_context(eva_folded, bps)
+    score = folding.evaluator_apply_folded(eva_folded, ectx, pose)
+    return Grasps(transl=transl, rot_matrix=rot, joint_conf=joints,
+                  score=score, z=g)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "n"))
+def sample_and_score_student(model: DexDiffuser, params: dict,
+                             eva_folded: dict, normalizer, bps: jax.Array,
+                             key: jax.Array, n: int,
+                             z_offset: float = 0.025) -> Grasps:
+    """bps (4096,) → n evaluator-scored STUDENT grasps: the distilled
+    one-step sampler (models/diffusion.py ``student_x0``; trained by
+    train/distill.py against the guided-DDIM teacher).
+
+    The entire sampler is 1 denoiser eval — vs 10 denoiser evals + 10
+    evaluator VJPs for the guided-DDIM-10 teacher it distills — so the
+    device program collapses to: embed object once, one MLP pass over the
+    n-grasp batch, pose math, evaluator scoring.  Same contract as
+    ``sample_and_score_diffusion``."""
+    cond = model.embed_object(params, bps)
+    z = jax.random.normal(key, (n, model.g_dim), bps.dtype)
+    g = model.student_x0(params, cond, z)
     if normalizer is not None:
         g = normalizer.denormalize(g)
     rot6, transl, joints = split_grasp_vector(g, model.n_joints)
@@ -292,7 +328,8 @@ class DiffusionEngine:
                  basis=None, z_offset: float = 0.025, cloud_pad: int = 8192,
                  ddim_steps: int = 50, guidance_scale: float = 0.0,
                  use_ddim_kernel=None, cfg_weight: float = 0.0,
-                 use_guided_kernel: bool = False, refine_steps: int = 0):
+                 use_guided_kernel: bool = False, refine_steps: int = 0,
+                 student: bool = False):
         from dexgangrasp_tpu.ops.bps import BPSEncoder
 
         self.model = model or DexDiffuser()
@@ -317,6 +354,9 @@ class DiffusionEngine:
         # refine → rescore → top-k; runs/best_pipeline_refined.json)
         self.refine_steps = refine_steps
         self.cfg_weight = cfg_weight
+        # distilled one-step sampler (train/distill.py checkpoints carry
+        # family='distill' metadata and from_checkpoints sets this)
+        self.student = student
         self._key = jax.random.PRNGKey(0)
 
     @classmethod
@@ -332,9 +372,11 @@ class DiffusionEngine:
             trees = {"params": model.init(jax.random.PRNGKey(0))}
             normalizer = None
         else:
-            trees, _ = ckpt.load_pytrees(diff_path)
+            trees, meta = ckpt.load_pytrees(diff_path)
             normalizer = GraspNormalizer(mean=trees["normalizer_mean"],
                                          std=trees["normalizer_std"])
+            if meta.get("family") == "distill":
+                kw.setdefault("student", True)
         if eva_path:
             etrees, _ = ckpt.load_pytrees(eva_path)
             ep, es = etrees["params"], etrees["state"]
@@ -357,7 +399,12 @@ class DiffusionEngine:
         bps = jnp.asarray(bps, jnp.float32).reshape(-1)
         zo = self.z_offset if z_offset is None else z_offset
         gs = self.guidance_scale if guidance_scale is None else guidance_scale
-        if gs:
+        if self.student:
+            g = sample_and_score_student(
+                self.model, self.diff_params, self.eva_folded,
+                self.normalizer, bps, self._next_key(seed), n_samples,
+                z_offset=zo)
+        elif gs:
             fn = (sample_and_score_guided_kernel if self.use_guided_kernel
                   else sample_and_score_guided)
             g = fn(

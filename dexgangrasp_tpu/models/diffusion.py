@@ -151,6 +151,22 @@ class DexDiffuser:
         pred = self.eps(params, cond, g_t, t)
         return jnp.mean((pred.astype(noise.dtype) - noise) ** 2)
 
+    # ----------------------------------------------------- one-step student
+
+    def student_x0(self, params: dict, cond: jax.Array,
+                   z: jax.Array) -> jax.Array:
+        """One-step distilled sampler: (N, g_dim) Gaussian noise → clean
+        normalized grasps in a single denoiser pass.
+
+        The same backbone as ``eps`` evaluated at the noise end (t = 1)
+        with the output head re-interpreted as an x0-prediction — a
+        distilled student (train/distill.py) regresses this map onto the
+        teacher's deterministic DDIM trajectory endpoint (Luhman & Luhman,
+        arXiv:2101.02388), so serving pays 1 denoiser eval instead of a
+        ``steps``-deep scan."""
+        return self.eps(params, cond, z,
+                        jnp.ones(z.shape[:-1], z.dtype))
+
     # ----------------------------------------------------------- sampling
 
     @functools.partial(jax.jit, static_argnames=("self", "n", "steps"))

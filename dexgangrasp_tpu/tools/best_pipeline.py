@@ -32,7 +32,8 @@ def run(data_dir: str, diff_ckpt: str, eva_ckpt: str, out_path: str,
     decoder / cGAN generator as the sampler (no guidance — their one-shot
     samplers have no score-ascent hook; refinement + filter still apply),
     giving the head-to-head serving-default comparison (VERDICT r3
-    next-4)."""
+    next-4).  ``model='student'`` measures the distilled one-step sampler
+    (train/distill.py) the same one-shot way."""
     from dexgangrasp_tpu.cli import load_engine, run_filter
     from dexgangrasp_tpu.data.datasets import DexGeneratorDataSet
     from dexgangrasp_tpu.data.grasp_geometry import grasp_outcomes
@@ -129,7 +130,7 @@ def main():
                     help="also measure + filter after this many "
                          "evaluator-gradient refinement steps")
     ap.add_argument("--model", default="diffusion",
-                    choices=("diffusion", "vae", "gan"),
+                    choices=("diffusion", "vae", "gan", "student"),
                     help="sampler family of --diff (vae/gan: one-shot "
                          "decoder, no guidance; refinement + filter "
                          "still compose)")

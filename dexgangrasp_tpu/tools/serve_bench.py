@@ -55,6 +55,11 @@ def build_pipeline(family: str, n_samples: int):
 
         engine = load_vae_bench_engine(
             refine_steps=10 if family == "vae_frontier" else 0)
+    elif family in ("distill", "distill_frontier"):
+        from dexgangrasp_tpu.cli import load_distill_bench_engine
+
+        engine = load_distill_bench_engine(
+            refine_steps=10 if family == "distill_frontier" else 0)
     else:
         from dexgangrasp_tpu.engine.diffusion_pipeline import DiffusionEngine
 
@@ -121,7 +126,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family",
                     choices=("gan", "diffusion", "guided", "frontier",
-                             "vae", "vae_frontier"),
+                             "vae", "vae_frontier", "distill",
+                             "distill_frontier"),
                     default="guided")
     ap.add_argument("--n-samples", type=int, default=1000)
     ap.add_argument("--clients", type=int, nargs="+", default=[1, 2, 4, 8])

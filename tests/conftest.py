@@ -79,6 +79,10 @@ SLOW_TESTS = {
     "test_set_lr_affects_updates",
     "test_evaluator_learns_separable_toy",
     "test_gan_step_disc_only",
+    # distillation: teacher-pair generation + regression loop + full-size
+    # engine/checkpoint integration (compile-heavy on CPU)
+    "test_distill_learns_teacher_map",
+    "test_student_engine_and_checkpoint_family",
     # diffusion family training/sampling e2e
     "test_guided_sampling_scale_zero_matches_plain_ddim",
     "test_training_descends_and_sampling_recovers_mode",
