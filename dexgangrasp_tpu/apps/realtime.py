@@ -186,6 +186,7 @@ class RealtimePipeline:
                 z_offset=e.z_offset,
                 use_ddim_kernel=e.use_ddim_kernel and not e.guidance_scale,
                 refine_steps=getattr(e, "refine_steps", 0),
+                student=getattr(e, "student", False),
                 **extra)
         return frame_to_grasps(
             self.engine.gen_folded, self.engine.eva_folded,
@@ -222,7 +223,8 @@ class RealtimePipeline:
                 keys, n_samples=cfg.n_samples, top_k=cfg.num_grasps,
                 steps=e.ddim_steps, guidance_scale=e.guidance_scale,
                 z_offset=e.z_offset,
-                refine_steps=getattr(e, "refine_steps", 0), **extra)
+                refine_steps=getattr(e, "refine_steps", 0),
+                student=getattr(e, "student", False), **extra)
         return frames_to_grasps_batch(
             self.engine.gen_folded, self.engine.eva_folded,
             self.engine.encoder.basis, jnp.asarray(padded),
@@ -347,7 +349,7 @@ class RealtimePipeline:
                 e.encoder.basis, jnp.asarray(padded),
                 jnp.asarray(n_valid), key, steps=e.ddim_steps,
                 guidance_scale=e.guidance_scale, z_offset=e.z_offset,
-                **common)
+                student=getattr(e, "student", False), **common)
         return frame_to_grasps_multi(
             self.engine.gen_folded, self.engine.eva_folded,
             self.engine.encoder.basis, jnp.asarray(padded),

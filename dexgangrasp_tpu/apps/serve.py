@@ -512,7 +512,7 @@ def main():
     ap.add_argument("--gen", default=None)
     ap.add_argument("--eva", default=None)
     ap.add_argument("--model", default="gan",
-                    choices=["gan", "vae", "diffusion"])
+                    choices=["gan", "vae", "diffusion", "student"])
     ap.add_argument("--guidance-scale", type=float, default=0.0)
     ap.add_argument("--refine-steps", type=int, default=0,
                     help="diffusion: fuse this many evaluator-gradient "

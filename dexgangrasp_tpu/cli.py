@@ -274,9 +274,10 @@ def eval_main():
     ap.add_argument("--filter", action="store_true", dest="is_filter")
     ap.add_argument("--discriminator", action="store_true")
     ap.add_argument("--model", default="gan",
-                    choices=["gan", "vae", "diffusion"],
+                    choices=["gan", "vae", "diffusion", "student"],
                     help="generator family of --gen (vae decoders serve "
-                         "through the standard engine)")
+                         "through the standard engine; student = distilled "
+                         "one-step sampler, train/distill.py)")
     ap.add_argument("--z-offset", type=float, default=0.025)
     ap.add_argument("--refine-steps", type=int, default=0,
                     help="diffusion only: evaluator-gradient refinement "

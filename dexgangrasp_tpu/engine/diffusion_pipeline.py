@@ -237,7 +237,7 @@ def sample_and_topk_diffusion(model: DexDiffuser, diff_params: dict,
 
 @functools.partial(jax.jit, static_argnames=("model", "n", "top_k", "steps",
                                              "refine_steps", "exact",
-                                             "guidance_scale"))
+                                             "guidance_scale", "student"))
 def sample_refine_rescore_diffusion(model: DexDiffuser, diff_params: dict,
                                     eva_folded: dict, normalizer,
                                     bps: jax.Array, key: jax.Array, n: int,
@@ -245,7 +245,8 @@ def sample_refine_rescore_diffusion(model: DexDiffuser, diff_params: dict,
                                     refine_steps: int = 10,
                                     guidance_scale: float = 0.0,
                                     z_offset: float = 0.025,
-                                    exact: bool = False):
+                                    exact: bool = False,
+                                    student: bool = False):
     """The full diffusion serving chain in ONE program: DDIM sample
     (optionally evaluator-guided) → gradient-refine by evaluator ascent →
     SO(3)-project → re-score → top-k.
@@ -257,7 +258,11 @@ def sample_refine_rescore_diffusion(model: DexDiffuser, diff_params: dict,
     from dexgangrasp_tpu.core.rotations import project_to_so3
     from dexgangrasp_tpu.engine.refine import refine_grasps_gradient
 
-    if guidance_scale:
+    if student:  # distilled one-step sampler (train/distill.py)
+        g = sample_and_score_student(model, diff_params, eva_folded,
+                                     normalizer, bps, key, n,
+                                     z_offset=z_offset)
+    elif guidance_scale:
         g = sample_and_score_guided(model, diff_params, eva_folded,
                                     normalizer, bps, key, n, steps=steps,
                                     guidance_scale=guidance_scale,
@@ -283,23 +288,30 @@ def sample_refine_rescore_diffusion(model: DexDiffuser, diff_params: dict,
 
 
 @functools.partial(jax.jit, static_argnames=("model", "n", "top_k", "steps",
-                                             "exact", "guidance_scale"))
+                                             "exact", "guidance_scale",
+                                             "student"))
 def sample_and_topk_multi_diffusion(model: DexDiffuser, diff_params: dict,
                                     eva_folded: dict, normalizer,
                                     bps_batch: jax.Array, key: jax.Array,
                                     n: int, top_k: int, steps: int = 50,
                                     z_offset: float = 0.025,
                                     guidance_scale: float = 0.0,
-                                    exact: bool = False) -> Grasps:
+                                    exact: bool = False,
+                                    student: bool = False) -> Grasps:
     """Multi-object batched diffusion serving: (O, 4096) BPS rows →
     Grasps with leading (O, top_k) axes, one compiled program — the
     diffusion counterpart of ``pipeline.sample_and_topk_multi`` (the
     MAGD protocol / whole-scene path).  ``guidance_scale`` > 0 runs the
-    evaluator-guided sampler per object."""
+    evaluator-guided sampler per object; ``student`` the distilled
+    one-step sampler."""
     keys = jax.random.split(key, bps_batch.shape[0])
 
     def per_object(bps, k):
-        if guidance_scale:
+        if student:
+            g = sample_and_score_student(model, diff_params, eva_folded,
+                                         normalizer, bps, k, n,
+                                         z_offset=z_offset)
+        elif guidance_scale:
             g = sample_and_score_guided(model, diff_params, eva_folded,
                                         normalizer, bps, k, n, steps=steps,
                                         guidance_scale=guidance_scale,

@@ -197,7 +197,7 @@ def frame_to_grasps(gen_folded: dict, eva_folded: dict, basis: jax.Array,
 @functools.partial(jax.jit, static_argnames=(
     "model", "n_samples", "top_k", "steps", "guidance_scale",
     "ransac_iters", "knn_k", "outlier_method", "use_pallas",
-    "use_ddim_kernel", "plane_first", "refine_steps"))
+    "use_ddim_kernel", "plane_first", "refine_steps", "student"))
 def frame_to_grasps_diffusion(model, diff_params: dict, eva_folded: dict,
                               normalizer, basis: jax.Array,
                               points: jax.Array, n_valid: jax.Array,
@@ -215,7 +215,8 @@ def frame_to_grasps_diffusion(model, diff_params: dict, eva_folded: dict,
                               use_pallas: bool = None,
                               use_ddim_kernel: bool = False,
                               plane_first: bool = True,
-                              refine_steps: int = 0
+                              refine_steps: int = 0,
+                              student: bool = False
                               ) -> Tuple[Grasps, jax.Array, jax.Array,
                                          jax.Array]:
     """The diffusion-family closed-loop frame program (VERDICT r2 next-2):
@@ -230,10 +231,13 @@ def frame_to_grasps_diffusion(model, diff_params: dict, eva_folded: dict,
 
     ``guidance_scale > 0`` selects the evaluator-guided sampler (XLA scan
     with an evaluator VJP per DDIM step); otherwise plain DDIM, with
-    ``use_ddim_kernel`` running the whole sampler as one Pallas kernel."""
+    ``use_ddim_kernel`` running the whole sampler as one Pallas kernel.
+    ``student`` serves the distilled one-step sampler (train/distill.py):
+    the sampler stage collapses to a single denoiser eval."""
     from dexgangrasp_tpu.engine.diffusion_pipeline import (
         sample_and_score_diffusion,
         sample_and_score_guided,
+        sample_and_score_student,
     )
 
     k_seg, k_z = jax.random.split(key)
@@ -244,7 +248,11 @@ def frame_to_grasps_diffusion(model, diff_params: dict, eva_folded: dict,
         outlier_min_neighbors=outlier_min_neighbors, use_pallas=use_pallas,
         plane_first=plane_first)
 
-    if guidance_scale:
+    if student:
+        g = sample_and_score_student(model, diff_params, eva_folded,
+                                     normalizer, bps, k_z, n_samples,
+                                     z_offset=z_offset)
+    elif guidance_scale:
         g = sample_and_score_guided(model, diff_params, eva_folded,
                                     normalizer, bps, k_z, n_samples,
                                     steps=steps,
@@ -335,7 +343,7 @@ def frames_to_grasps_batch(gen_folded: dict, eva_folded: dict,
 @functools.partial(jax.jit, static_argnames=(
     "model", "n_samples", "top_k", "steps", "guidance_scale",
     "ransac_iters", "knn_k", "outlier_method", "plane_first",
-    "refine_steps"))
+    "refine_steps", "student"))
 def frames_to_grasps_diffusion_batch(model, diff_params: dict,
                                      eva_folded: dict, normalizer,
                                      basis: jax.Array, points: jax.Array,
@@ -351,11 +359,13 @@ def frames_to_grasps_diffusion_batch(model, diff_params: dict,
                                      outlier_radius: float = 0.012,
                                      outlier_min_neighbors: int = 6,
                                      plane_first: bool = True,
-                                     refine_steps: int = 0
+                                     refine_steps: int = 0,
+                                     student: bool = False
                                      ) -> Tuple[Grasps, jax.Array,
                                                 jax.Array, jax.Array]:
     """Batched ``frame_to_grasps_diffusion`` (incl. the guided production
-    recipe): one device program for B concurrent frames."""
+    recipe and the distilled one-step student): one device program for B
+    concurrent frames."""
     def one(p, nv, k):
         return frame_to_grasps_diffusion(
             model, diff_params, eva_folded, normalizer, basis, p, nv, k,
@@ -366,7 +376,8 @@ def frames_to_grasps_diffusion_batch(model, diff_params: dict,
             outlier_radius=outlier_radius,
             outlier_min_neighbors=outlier_min_neighbors,
             use_pallas=False, use_ddim_kernel=False,
-            plane_first=plane_first, refine_steps=refine_steps)
+            plane_first=plane_first, refine_steps=refine_steps,
+            student=student)
 
     return jax.vmap(one)(points, n_valid, keys)
 
@@ -503,7 +514,7 @@ def frame_to_grasps_multi(gen_folded: dict, eva_folded: dict,
 @functools.partial(jax.jit, static_argnames=(
     "model", "n_samples", "top_k", "steps", "guidance_scale",
     "max_objects", "min_cluster_points", "ransac_iters", "knn_k",
-    "outlier_method", "refine_steps"))
+    "outlier_method", "refine_steps", "student"))
 def frame_to_grasps_multi_diffusion(model, diff_params: dict,
                                     eva_folded: dict, normalizer,
                                     basis: jax.Array, points: jax.Array,
@@ -521,11 +532,13 @@ def frame_to_grasps_multi_diffusion(model, diff_params: dict,
                                     outlier_method: str = "radius",
                                     outlier_radius: float = 0.012,
                                     outlier_min_neighbors: int = 6,
-                                    refine_steps: int = 0
+                                    refine_steps: int = 0,
+                                    student: bool = False
                                     ) -> Tuple[Grasps, jax.Array,
                                                jax.Array, jax.Array]:
     """Whole-scene serving with the diffusion family (incl. the guided
-    production recipe): same multi-object front-end, batched DDIM tail
+    production recipe and the distilled one-step student): same
+    multi-object front-end, batched DDIM tail
     (``sample_and_topk_multi_diffusion``); ``refine_steps > 0`` fuses
     the per-object composed-frontier tail
     (``sample_refine_rescore_diffusion``)."""
@@ -551,7 +564,8 @@ def frame_to_grasps_multi_diffusion(model, diff_params: dict,
                 model, diff_params, eva_folded, normalizer, bps, k,
                 n_samples, top_k, steps=steps,
                 refine_steps=refine_steps,
-                guidance_scale=guidance_scale, z_offset=z_offset)
+                guidance_scale=guidance_scale, z_offset=z_offset,
+                student=student)
             return g
 
         g = jax.vmap(per_object)(bps_b, keys)
@@ -559,5 +573,5 @@ def frame_to_grasps_multi_diffusion(model, diff_params: dict,
         g = sample_and_topk_multi_diffusion(
             model, diff_params, eva_folded, normalizer, bps_b, k_z,
             n_samples, top_k, steps=steps, guidance_scale=guidance_scale,
-            z_offset=z_offset)
+            z_offset=z_offset, student=student)
     return g, centers, n_objs, clipped

@@ -83,6 +83,7 @@ SLOW_TESTS = {
     # engine/checkpoint integration (compile-heavy on CPU)
     "test_distill_learns_teacher_map",
     "test_student_engine_and_checkpoint_family",
+    "test_frame_to_grasps_diffusion_student_branch",
     # diffusion family training/sampling e2e
     "test_guided_sampling_scale_zero_matches_plain_ddim",
     "test_training_descends_and_sampling_recovers_mode",

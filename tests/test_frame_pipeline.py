@@ -251,3 +251,47 @@ def test_frame_to_grasps_multi_refine_tail_live():
     np.testing.assert_allclose(np.einsum("bij,bkj->bik", R, R),
                                np.broadcast_to(np.eye(3), R.shape),
                                atol=1e-4)
+
+
+def test_frame_to_grasps_diffusion_student_branch():
+    """The distilled-student frame program: one denoiser eval replaces the
+    DDIM scan; valid grasps, and the branch is distinct from plain DDIM
+    with the same key (it is a different sampler, not a relabel)."""
+    from dexgangrasp_tpu.engine.frame_pipeline import (
+        frame_to_grasps_diffusion,
+        frame_to_grasps_multi_diffusion,
+    )
+    from dexgangrasp_tpu.models.diffusion import DexDiffuser
+
+    model = DexDiffuser(n_blocks=1, hidden=64, cond_dim=32, t_dim=16)
+    dparams = model.init(jax.random.PRNGKey(0))
+    _, ep, es = init_evaluator(jax.random.PRNGKey(1))
+    ef = folding.fold_evaluator(ep, es)
+    basis = generate_basis(jax.random.PRNGKey(2), 4096, 0.2)
+    padded, n_valid, obj_center = _toy_scene()
+
+    common = dict(n_samples=64, top_k=8, steps=4, ransac_iters=256,
+                  outlier_method="statistical")
+    g, center, _, _ = frame_to_grasps_diffusion(
+        model, dparams, ef, None, basis, jnp.asarray(padded),
+        jnp.asarray(n_valid), jax.random.PRNGKey(3), student=True,
+        **common)
+    assert g.transl.shape == (8, 3)
+    assert np.linalg.norm(np.asarray(center) - obj_center) < 0.02
+    R = np.asarray(g.rot_matrix)
+    np.testing.assert_allclose(np.einsum("bij,bkj->bik", R, R),
+                               np.broadcast_to(np.eye(3), R.shape),
+                               atol=1e-4)
+    gd, _, _, _ = frame_to_grasps_diffusion(
+        model, dparams, ef, None, basis, jnp.asarray(padded),
+        jnp.asarray(n_valid), jax.random.PRNGKey(3), **common)
+    assert np.max(np.abs(np.asarray(gd.transl) - np.asarray(g.transl))) > 0
+
+    # whole-scene path with the student tail (+ fused refine)
+    gm, centers, n_objs, _ = frame_to_grasps_multi_diffusion(
+        model, dparams, ef, None, basis, jnp.asarray(padded),
+        jnp.asarray(n_valid), jax.random.PRNGKey(4), n_samples=32,
+        top_k=4, max_objects=2, ransac_iters=256, student=True,
+        refine_steps=2)
+    assert gm.transl.shape == (2, 4, 3)
+    assert int(n_objs[0]) > 0
