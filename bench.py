@@ -367,6 +367,48 @@ def main():
     except Exception as e:
         extras["frontier_n1000_ms"] = f"error: {e}"
 
+    # DISTILLED STUDENT serving latency (round 4): the one-step student
+    # (train/distill.py) replaces the 10-step guided scan with a single
+    # denoiser eval; also timed with the fused refine tail (the distilled
+    # frontier).  Weight-independent timing (fresh init), n=1000.
+    try:
+        from dexgangrasp_tpu.engine.diffusion_pipeline import (
+            sample_and_score_student,
+            sample_refine_rescore_diffusion as _srrd,
+        )
+        from dexgangrasp_tpu.models.diffusion import DexDiffuser
+
+        smodel = DexDiffuser()
+        sparams = smodel.init(jax.random.PRNGKey(7))
+
+        def student_bench(refine_steps):
+            @jax.jit
+            def chain(key):
+                def body(i, carry):
+                    key, acc = carry
+                    key, k = jax.random.split(key)
+                    if refine_steps:
+                        g, _ = _srrd(smodel, sparams, eva_folded, None,
+                                     bps, k, 1000, top_k=10,
+                                     refine_steps=refine_steps,
+                                     student=True)
+                    else:
+                        g = sample_and_score_student(smodel, sparams,
+                                                     eva_folded, None,
+                                                     bps, k, 1000)
+                    return (key, acc + g.score[0] + g.transl[0].sum())
+                return jax.lax.fori_loop(0, 10, body, (key, 0.0))[1]
+
+            float(np.asarray(chain(jax.random.PRNGKey(0))))
+            t0 = time.perf_counter()
+            float(np.asarray(chain(jax.random.PRNGKey(1))))
+            return round((time.perf_counter() - t0) * 100.0, 3)
+
+        extras["student_n1000_ms"] = student_bench(0)
+        extras["student_frontier_n1000_ms"] = student_bench(10)
+    except Exception as e:
+        extras["student_n1000_ms"] = f"error: {e}"
+
     print(json.dumps({
         "metric": "grasps_per_sec",
         "value": round(best, 1),
