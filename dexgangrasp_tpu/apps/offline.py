@@ -75,7 +75,7 @@ def main():
     ap.add_argument("--n-samples", type=int, default=1000)
     ap.add_argument("--visualize", action="store_true")
     ap.add_argument("--model", default="gan",
-                    choices=["gan", "vae", "diffusion", "student"])
+                    choices=["gan", "vae", "diffusion", "student", "set"])
     ap.add_argument("--guidance-scale", type=float, default=0.0,
                     help="diffusion only: evaluator-guided DDIM strength")
     ap.add_argument("--refine-steps", type=int, default=0,

@@ -45,8 +45,9 @@ def train_main():
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--train-evaluator", action="store_true")
     ap.add_argument("--model", default="gan",
-                    choices=["gan", "vae", "diffusion"],
-                    help="generator family (gan = reference architecture)")
+                    choices=["gan", "vae", "diffusion", "set"],
+                    help="generator family (gan = reference architecture; "
+                         "set = DGTR-style set-prediction transformer)")
     ap.add_argument("--dp", action="store_true",
                     help="data-parallel over all visible devices")
     ap.add_argument("--fast", action="store_true",
@@ -90,6 +91,11 @@ def train_main():
         from dexgangrasp_tpu.train.families import train_diffusion
 
         print("final:", train_diffusion(cfg))
+        return
+    if args.model == "set":
+        from dexgangrasp_tpu.train.families import train_set
+
+        print("final:", train_set(cfg))
         return
 
     mesh = None
@@ -193,7 +199,9 @@ def load_engine(gen_path, eva_path, basis_path=None, model: str = "gan",
     'diffusion' through DiffusionEngine (same serving surface);
     'student' through DiffusionEngine with the distilled one-step sampler
     (train/distill.py — distill checkpoints also auto-detect via their
-    family='distill' metadata under model='diffusion').
+    family='distill' metadata under model='diffusion'); 'set' through
+    SetEngine (the DGTR-style set-prediction transformer,
+    train/set_transformer.py).
     ``guidance_scale`` > 0 (diffusion only) turns on evaluator-guided DDIM
     (engine/diffusion_pipeline.sample_guided)."""
     if model in ("diffusion", "student"):
@@ -203,6 +211,11 @@ def load_engine(gen_path, eva_path, basis_path=None, model: str = "gan",
         return DiffusionEngine.from_checkpoints(
             gen_path, eva_path, basis_path,
             guidance_scale=guidance_scale, refine_steps=refine_steps, **kw)
+    if model == "set":
+        from dexgangrasp_tpu.engine.set_pipeline import SetEngine
+
+        return SetEngine.from_checkpoints(gen_path, eva_path, basis_path,
+                                          refine_steps=refine_steps)
     from dexgangrasp_tpu.engine.pipeline import GraspEngine
 
     return GraspEngine.from_checkpoints(gen_path, eva_path, basis_path,
@@ -274,7 +287,7 @@ def eval_main():
     ap.add_argument("--filter", action="store_true", dest="is_filter")
     ap.add_argument("--discriminator", action="store_true")
     ap.add_argument("--model", default="gan",
-                    choices=["gan", "vae", "diffusion", "student"],
+                    choices=["gan", "vae", "diffusion", "student", "set"],
                     help="generator family of --gen (vae decoders serve "
                          "through the standard engine; student = distilled "
                          "one-step sampler, train/distill.py)")

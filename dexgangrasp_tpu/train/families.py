@@ -60,6 +60,54 @@ def train_vae(cfg: dict, num_epochs: Optional[int] = None) -> Dict:
     return {k: float(v) for k, v in logs.items()}
 
 
+def train_set(cfg: dict, num_steps: Optional[int] = None) -> Dict:
+    """Set-prediction transformer family training (model: set) —
+    DETR-style Hungarian-matched regression over each view's full GT
+    grasp set (train/set_transformer.py)."""
+    from dexgangrasp_tpu.core.rotations import ortho6d_from_rot_matrix
+    from dexgangrasp_tpu.models.diffusion import (
+        GraspNormalizer,
+        grasp_vector,
+    )
+    from dexgangrasp_tpu.models.grasp_transformer import GraspTransformer
+    from dexgangrasp_tpu.train.set_transformer import (
+        SetTrainer,
+        build_set_table,
+        train_set_transformer,
+    )
+
+    writer = Writer(cfg["save_dir"], cfg.get("to_tensorboard", True))
+    ds = DexGeneratorDataSet(cfg["data_dir"], "train",
+                             group_joints=cfg["is_group_joints"])
+    big = ds.sample_batch(min(4096, len(ds)))
+    g_all = grasp_vector(
+        ortho6d_from_rot_matrix(jnp.asarray(big["rot_matrix"], jnp.float32)),
+        jnp.asarray(big["transl"], jnp.float32),
+        jnp.asarray(big["joint_conf"], jnp.float32))
+    normalizer = GraspNormalizer.fit(g_all)
+    model = GraspTransformer(n_joints=cfg["n_hand_joints"])
+    trainer = SetTrainer(model, lr=cfg.get("lr", 1e-4),
+                         normalizer=normalizer)
+    ts = trainer.init_state(jax.random.PRNGKey(cfg.get("seed", 0)))
+    table = build_set_table(ds, seed=cfg.get("seed", 0))
+    steps_per_epoch = max(1, table["bps"].shape[0] // 8)
+    num_steps = num_steps or cfg["num_epochs"] * steps_per_epoch
+    ts, history = train_set_transformer(
+        trainer, ts, table, num_steps,
+        batch_views=min(32, table["bps"].shape[0]),
+        seed=cfg.get("seed", 0),
+        eval_every=max(1, num_steps // 10),
+        log=lambda s: print(f"[set] {s}", flush=True))
+    save_pytrees(
+        os.path.join(cfg["save_dir"], f"{num_steps}_set_net.npz"),
+        {"params": ts.params, "opt": ts.opt, "step": ts.step,
+         "normalizer_mean": normalizer.mean,
+         "normalizer_std": normalizer.std},
+        {"epoch": num_steps, "family": "set"})
+    writer.close()
+    return history[-1] if history else {}
+
+
 def train_diffusion(cfg: dict, num_steps: Optional[int] = None) -> Dict:
     """Diffusion family training (model: diffusion); step-based like DDPM
     practice, ``num_epochs``·steps_per_epoch if not given."""

@@ -1,0 +1,240 @@
+"""Set-prediction training for the grasp transformer family.
+
+DETR-style recipe (arXiv:2404.18135 applies it to dexterous grasping):
+every training view carries its FULL set of ground-truth positive grasps
+(the reference exposes exactly this via ``get_grasps_from_pcd_path``,
+``dexgenerator_data_set.py:46-66``); each step Hungarian-matches the
+model's query predictions to the GT set under a regression cost, then
+descends matched regression losses + a matched/unmatched confidence BCE.
+
+Division of labor (TPU-first):
+- forward pass, cost matrices, loss and gradients: batched matmuls under
+  one jit each (the heavy work);
+- the Hungarian assignment itself: ``scipy.optimize.linear_sum_assignment``
+  on host per view — a ≤(n_q x M) LAP measured in microseconds, not worth
+  a device Sinkhorn; the host↔device traffic is one (B, n_q, M) cost
+  download and one (B, n_q) index upload per step.
+
+Loss weights mirror the reference's generator recon coefficients
+(transl 100 / rot 1 / joint 10, ``dexgangrasp.py:92-94``) so the family
+competes under the same objective scaling as the cGAN.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dexgangrasp_tpu.core.rotations import ortho6d_from_rot_matrix
+from dexgangrasp_tpu.models.diffusion import grasp_vector
+from dexgangrasp_tpu.models.grasp_transformer import GraspTransformer
+
+TRANSL_COEF = 100.0
+ROT_COEF = 1.0
+JOINT_COEF = 10.0
+
+
+def build_set_table(ds, max_grasps: int = 32,
+                    seed: int = 0) -> Dict[str, np.ndarray]:
+    """Per-VIEW table: {"bps" (V, 4096), "gt" (V, M, 21), "mask" (V, M)}.
+
+    GT grasp vectors are [rot6d, transl, joints] (the same layout the
+    diffusion family trains in); views with more than ``max_grasps``
+    positives contribute a seeded random subset (logged via the returned
+    ``n_truncated``)."""
+    import os
+
+    rng = np.random.default_rng(seed)
+    paths = sorted(set(ds.bps_paths))
+    bps_rows, gts, masks = [], [], []
+    n_truncated = 0
+    for bp in paths:
+        pcd_path = bp.replace("bps", "pcd")
+        g = ds.get_grasps_from_pcd_path(pcd_path)
+        rot6 = np.asarray(ortho6d_from_rot_matrix(
+            jnp.asarray(g["rot_matrix"], jnp.float32)))
+        vec = np.concatenate(
+            [rot6, g["transl"].astype(np.float32),
+             g["joint_conf"].astype(np.float32)], axis=1)
+        m = vec.shape[0]
+        if m > max_grasps:
+            vec = vec[rng.choice(m, max_grasps, replace=False)]
+            m = max_grasps
+            n_truncated += 1
+        pad = np.zeros((max_grasps, vec.shape[1]), np.float32)
+        pad[:m] = vec
+        mask = np.zeros((max_grasps,), np.float32)
+        mask[:m] = 1.0
+        bps_rows.append(np.load(bp).ravel().astype(np.float32))
+        gts.append(pad)
+        masks.append(mask)
+    return {"bps": np.stack(bps_rows), "gt": np.stack(gts),
+            "mask": np.stack(masks), "n_truncated": n_truncated}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SetTrainState:
+    params: Any
+    opt: Any
+    step: jax.Array
+
+
+class SetTrainer:
+    def __init__(self, model: GraspTransformer = GraspTransformer(),
+                 lr: float = 1e-4, normalizer=None):
+        """``normalizer`` (GraspNormalizer, optional): regression runs in
+        the normalized grasp space when given (same standardization as the
+        diffusion family) — the cost/losses then weight dimensions
+        comparably; predictions are denormalized at serving."""
+        self.model = model
+        self.tx = optax.adam(lr)
+        self.normalizer = normalizer
+
+    def init_state(self, key: jax.Array) -> SetTrainState:
+        params = self.model.init(key)
+        return SetTrainState(params=params, opt=self.tx.init(params),
+                             step=jnp.zeros((), jnp.int32))
+
+    # --------------------------------------------------------------- cost
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def cost_matrix(self, params: dict, bps: jax.Array, gt: jax.Array
+                    ) -> jax.Array:
+        """(B, 4096), (B, M, 21) → (B, n_q, M) matching cost (the same
+        weighted regression the loss descends; confidence is deliberately
+        excluded from the cost, as in DETR's class-agnostic L1 part)."""
+        pred, _ = self.model.apply_batch(params, bps)
+        return self._pair_cost(pred, gt)
+
+    def _pair_cost(self, pred: jax.Array, gt: jax.Array) -> jax.Array:
+        d = lambda sl: jnp.sum(
+            (pred[:, :, None, sl] - gt[:, None, :, sl]) ** 2, axis=-1)
+        return (ROT_COEF * d(slice(0, 6)) + TRANSL_COEF * d(slice(6, 9))
+                + JOINT_COEF * d(slice(9, None)))
+
+    @staticmethod
+    def match(cost: np.ndarray, mask: np.ndarray
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        """Host Hungarian per view: (B, n_q, M) cost + (B, M) validity →
+        (match_idx (B, n_q) int32 [GT index or 0], match_ok (B, n_q))."""
+        from scipy.optimize import linear_sum_assignment
+
+        b, n_q, _ = cost.shape
+        midx = np.zeros((b, n_q), np.int32)
+        mok = np.zeros((b, n_q), np.float32)
+        for i in range(b):
+            m = int(mask[i].sum())
+            if m == 0:
+                continue
+            rows, cols = linear_sum_assignment(cost[i][:, :m])
+            midx[i, rows] = cols
+            mok[i, rows] = 1.0
+        return midx, mok
+
+    # --------------------------------------------------------------- step
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _grad_step(self, ts: SetTrainState, bps, gt, midx, mok):
+        def loss_fn(params):
+            pred, logit = self.model.apply_batch(params, bps)
+            tgt = jnp.take_along_axis(gt, midx[..., None], axis=1)
+            sq = lambda sl: jnp.sum(
+                (pred[..., sl] - tgt[..., sl]) ** 2, axis=-1)
+            reg = (ROT_COEF * sq(slice(0, 6))
+                   + TRANSL_COEF * sq(slice(6, 9))
+                   + JOINT_COEF * sq(slice(9, None)))
+            n_match = jnp.maximum(jnp.sum(mok), 1.0)
+            reg_loss = jnp.sum(reg * mok) / n_match
+            # matched queries are the positive class
+            bce = optax.sigmoid_binary_cross_entropy(logit, mok)
+            bce_loss = jnp.mean(bce)
+            return reg_loss + bce_loss, (reg_loss, bce_loss)
+
+        (loss, (reg, bce)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(ts.params)
+        updates, opt = self.tx.update(grads, ts.opt, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        return (SetTrainState(params=params, opt=opt, step=ts.step + 1),
+                {"loss": loss, "reg": reg, "bce": bce})
+
+    def train_step(self, ts: SetTrainState, bps: np.ndarray,
+                   gt: np.ndarray, mask: np.ndarray):
+        """One DETR step: jit cost → host Hungarian → jit grad step."""
+        cost = np.asarray(self.cost_matrix(ts.params, jnp.asarray(bps),
+                                           jnp.asarray(gt)))
+        midx, mok = self.match(cost, mask)
+        return self._grad_step(ts, jnp.asarray(bps), jnp.asarray(gt),
+                               jnp.asarray(midx), jnp.asarray(mok))
+
+
+def train_set_transformer(trainer: SetTrainer, ts: SetTrainState,
+                          table: Dict[str, np.ndarray], total_steps: int,
+                          batch_views: int = 32, seed: int = 0,
+                          eval_table: Optional[Dict[str, np.ndarray]] = None,
+                          eval_every: int = 1000,
+                          log: Optional[Callable[[str], None]] = None
+                          ) -> Tuple[SetTrainState, list]:
+    """Minibatch-of-views loop; history carries train losses and (if an
+    eval table is given) the eval-split matched regression cost."""
+    rng = np.random.default_rng(seed)
+    v = table["bps"].shape[0]
+    gt_n = table["gt"]
+    if trainer.normalizer is not None:
+        nm = trainer.normalizer
+        gt_n = np.asarray(nm.normalize(jnp.asarray(gt_n)))
+    history, run = [], []
+    for i in range(1, total_steps + 1):
+        vi = rng.integers(0, v, batch_views)
+        ts, logs = trainer.train_step(ts, table["bps"][vi], gt_n[vi],
+                                      table["mask"][vi])
+        run.append(logs)
+        if i % eval_every == 0 or i == total_steps:
+            m = {"step": i}
+            for k in ("loss", "reg", "bce"):
+                m[k] = float(np.mean([jax.device_get(r[k]) for r in run]))
+            run = []
+            if eval_table is not None:
+                m["eval_matched_cost"] = eval_matched_cost(
+                    trainer, ts.params, eval_table)
+            history.append(m)
+            if log:
+                log(" ".join(f"{k} {val:.5g}" if isinstance(val, float)
+                             else f"{k} {val}" for k, val in m.items()))
+    return ts, history
+
+
+def eval_matched_cost(trainer: SetTrainer, params: dict,
+                      table: Dict[str, np.ndarray]) -> float:
+    """Mean matched regression cost over an eval table (the set-prediction
+    analogue of an eval loss)."""
+    gt = table["gt"]
+    if trainer.normalizer is not None:
+        gt = np.asarray(trainer.normalizer.normalize(jnp.asarray(gt)))
+    cost = np.asarray(trainer.cost_matrix(
+        params, jnp.asarray(table["bps"]), jnp.asarray(gt)))
+    midx, mok = trainer.match(cost, table["mask"])
+    matched = np.take_along_axis(cost, midx[:, :, None],
+                                 axis=2)[:, :, 0]
+    return float((matched * mok).sum() / max(mok.sum(), 1.0))
+
+
+def grasp_set_to_fields(g: jax.Array, n_joints: int = 12):
+    """(..., 21) grasp vectors → (rot_matrix, transl, joints) with the
+    rot6d → SO(3) Gram-Schmidt (the serving conversion)."""
+    from dexgangrasp_tpu.core.rotations import rot_matrix_from_ortho6d
+    from dexgangrasp_tpu.models.diffusion import split_grasp_vector
+
+    rot6, transl, joints = split_grasp_vector(g, n_joints)
+    return rot_matrix_from_ortho6d(rot6), transl, joints
+
+
+__all__ = ["SetTrainer", "SetTrainState", "build_set_table",
+           "train_set_transformer", "eval_matched_cost",
+           "grasp_set_to_fields", "grasp_vector"]

@@ -84,6 +84,9 @@ SLOW_TESTS = {
     "test_distill_learns_teacher_map",
     "test_student_engine_and_checkpoint_family",
     "test_frame_to_grasps_diffusion_student_branch",
+    # set-prediction transformer: DETR loop + full-size engine integration
+    "test_set_training_learns_fixed_sets",
+    "test_set_engine_serves_and_composes",
     # diffusion family training/sampling e2e
     "test_guided_sampling_scale_zero_matches_plain_ddim",
     "test_training_descends_and_sampling_recovers_mode",
