@@ -85,6 +85,12 @@ def build_pipeline(family: str):
         n_samples = 1000  # head-to-head with the diffusion rows
         engine = load_distill_bench_engine(
             refine_steps=10 if family == "distill_frontier" else 0)
+    elif family in ("set", "set_frontier"):
+        from dexgangrasp_tpu.cli import load_set_bench_engine
+
+        n_samples = 1000  # ignored: the set decoder emits n_queries
+        engine = load_set_bench_engine(
+            refine_steps=10 if family == "set_frontier" else 0)
     else:
         from dexgangrasp_tpu.engine.diffusion_pipeline import DiffusionEngine
 
@@ -105,7 +111,7 @@ def main():
     ap.add_argument("--family",
                     choices=("gan", "diffusion", "guided", "frontier",
                              "vae", "vae_frontier", "distill",
-                             "distill_frontier"),
+                             "distill_frontier", "set", "set_frontier"),
                     default="gan",
                     help="frontier = guided DDIM-10 + fused 10-step "
                          "evaluator-gradient refinement (the composed "

@@ -159,6 +159,15 @@ class RealtimePipeline:
         pts = native.voxel_downsample(pts, voxel)
         return pad_cloud(pts, pad_n), min(pts.shape[0], pad_n)
 
+    def _is_set_engine(self) -> bool:
+        """Family dispatch seam: the set-prediction engine (SetEngine) has
+        neither ``gen_folded`` (cGAN/cVAE) nor ``diff_params`` (diffusion/
+        student) — checked explicitly by type so a future engine can't
+        silently fall through to the wrong frame program."""
+        from dexgangrasp_tpu.engine.set_pipeline import SetEngine
+
+        return isinstance(self.engine, SetEngine)
+
     def _launch_frame(self, padded: np.ndarray, n_valid: int, seed: int):
         """Device half of a fused frame: dispatch ONE program, return the
         pending (Grasps, center, n_obj) WITHOUT materializing — the caller
@@ -171,11 +180,21 @@ class RealtimePipeline:
         from dexgangrasp_tpu.engine.frame_pipeline import (
             frame_to_grasps,
             frame_to_grasps_diffusion,
+            frame_to_grasps_set,
         )
 
         cfg = self.cfg
         key = jax.random.PRNGKey(seed)
         extra = cfg.frame_kwargs or {}
+        if self._is_set_engine():  # set-prediction family
+            e = self.engine
+            extra = {k: v for k, v in extra.items()
+                     if k not in ("use_chain_kernel", "use_ddim_kernel")}
+            return frame_to_grasps_set(
+                e.model, e.params, e.eva_folded, e.normalizer,
+                e.encoder.basis, jnp.asarray(padded), jnp.asarray(n_valid),
+                key, top_k=cfg.num_grasps, z_offset=e.z_offset,
+                refine_steps=getattr(e, "refine_steps", 0), **extra)
         if hasattr(self.engine, "diff_params"):  # diffusion family
             e = self.engine
             return frame_to_grasps_diffusion(
@@ -208,6 +227,7 @@ class RealtimePipeline:
         from dexgangrasp_tpu.engine.frame_pipeline import (
             frames_to_grasps_batch,
             frames_to_grasps_diffusion_batch,
+            frames_to_grasps_set_batch,
         )
 
         cfg = self.cfg
@@ -215,6 +235,13 @@ class RealtimePipeline:
         extra = dict(cfg.frame_kwargs or {})
         for k in ("use_pallas", "use_chain_kernel", "use_ddim_kernel"):
             extra.pop(k, None)  # batched path is XLA-only
+        if self._is_set_engine():  # set-prediction family
+            e = self.engine
+            return frames_to_grasps_set_batch(
+                e.model, e.params, e.eva_folded, e.normalizer,
+                e.encoder.basis, jnp.asarray(padded), jnp.asarray(n_valid),
+                keys, top_k=cfg.num_grasps, z_offset=e.z_offset,
+                refine_steps=getattr(e, "refine_steps", 0), **extra)
         if hasattr(self.engine, "diff_params"):  # diffusion family
             e = self.engine
             return frames_to_grasps_diffusion_batch(
@@ -328,6 +355,7 @@ class RealtimePipeline:
         from dexgangrasp_tpu.engine.frame_pipeline import (
             frame_to_grasps_multi,
             frame_to_grasps_multi_diffusion,
+            frame_to_grasps_multi_set,
         )
 
         cfg = self.cfg
@@ -342,6 +370,13 @@ class RealtimePipeline:
                       min_cluster_points=min_cluster_points,
                       refine_steps=getattr(self.engine, "refine_steps", 0),
                       **extra)
+        if self._is_set_engine():  # set-prediction family
+            e = self.engine
+            kw = {k: v for k, v in common.items() if k != "n_samples"}
+            return frame_to_grasps_multi_set(
+                e.model, e.params, e.eva_folded, e.normalizer,
+                e.encoder.basis, jnp.asarray(padded), jnp.asarray(n_valid),
+                key, z_offset=e.z_offset, **kw)
         if hasattr(self.engine, "diff_params"):  # diffusion family
             e = self.engine
             return frame_to_grasps_multi_diffusion(
@@ -436,7 +471,10 @@ class RealtimePipeline:
                     "pc_center": pc_center, "n_obj": 0, "ok": False,
                     "clipped": clipped}
         goals = {}
-        for j in range(self.cfg.num_grasps):
+        # the set-prediction family returns min(num_grasps, n_queries)
+        # grasps — bound by what actually came back, not the config ask
+        for j in range(min(self.cfg.num_grasps,
+                           len(filtered["transl"]))):
             goals[str(j)] = grasp_to_flange_goals(
                 filtered["transl"][j], filtered["rot_matrix"][j],
                 pc_center, self.cfg.base_T_cam, self.cfg.flange_T_palm)

@@ -57,6 +57,17 @@ def _unpack_npz(data: bytes) -> dict:
     return dict(np.load(io.BytesIO(data), allow_pickle=False))
 
 
+def _family_name(engine) -> str:
+    """The wire-visible family label (/healthz, /reload) for an engine:
+    mirrors RealtimePipeline's dispatch seam (apps/realtime.py
+    ``_is_set_engine``)."""
+    if hasattr(engine, "diff_params"):
+        return "diffusion"
+    if hasattr(engine, "gen_folded"):
+        return "gan"
+    return "set"
+
+
 class GraspServer:
     """Serve a RealtimePipeline over HTTP.
 
@@ -134,10 +145,7 @@ class GraspServer:
 
             def do_GET(self):
                 if self.path == "/healthz":
-                    fam = ("diffusion"
-                           if hasattr(outer.pipeline.engine, "diff_params")
-                           else "gan")
-                    body = f"ok {fam}".encode()
+                    body = f"ok {_family_name(outer.pipeline.engine)}".encode()
                 elif self.path == "/stats":
                     body = json.dumps(outer.stats()).encode()
                 else:
@@ -227,8 +235,8 @@ class GraspServer:
                     self._device_sem.release()
         with self._stats_lock:
             self._n_reloads += 1
-        fam = ("diffusion" if hasattr(engine, "diff_params") else "gan")
-        return {"ok": True, "family": fam, "gen": gen, "eva": eva}
+        return {"ok": True, "family": _family_name(engine),
+                "gen": gen, "eva": eva}
 
     def stats(self) -> dict:
         """Serving counters + latency percentiles over the last ≤1024
@@ -512,7 +520,7 @@ def main():
     ap.add_argument("--gen", default=None)
     ap.add_argument("--eva", default=None)
     ap.add_argument("--model", default="gan",
-                    choices=["gan", "vae", "diffusion", "student"])
+                    choices=["gan", "vae", "diffusion", "student", "set"])
     ap.add_argument("--guidance-scale", type=float, default=0.0)
     ap.add_argument("--refine-steps", type=int, default=0,
                     help="diffusion: fuse this many evaluator-gradient "

@@ -262,6 +262,27 @@ def load_distill_bench_engine(refine_steps: int = 0):
                        refine_steps=refine_steps)
 
 
+def load_set_bench_engine(refine_steps: int = 0):
+    """Bench/serving factory for the set-prediction transformer family
+    (DGTR-style, models/grasp_transformer.py): loads the committed
+    set-study checkpoint resolved relative to the repo root, with a loud
+    fallback to fresh default weights so a missing artifact can't
+    silently mislabel a bench row (same contract as
+    ``load_vae_bench_engine``)."""
+    import glob
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hits = sorted(glob.glob(os.path.join(root, "runs", "set_study",
+                                         "*_set_net.npz")))
+    ckpt = hits[-1] if hits else None
+    if ckpt is None:
+        print("warning: set study checkpoint missing under "
+              f"{root}/runs/set_study; benching fresh-initialized "
+              "set-transformer weights", file=sys.stderr)
+    return load_engine(ckpt, None, model="set", refine_steps=refine_steps)
+
+
 def run_filter(engine, bps, grasps, n_samples, thresh_list, use_disc,
                verbose=True):
     """Reference 3-stage filter (eval.py:139-204)."""

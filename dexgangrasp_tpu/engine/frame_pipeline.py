@@ -575,3 +575,133 @@ def frame_to_grasps_multi_diffusion(model, diff_params: dict,
             n_samples, top_k, steps=steps, guidance_scale=guidance_scale,
             z_offset=z_offset, student=student)
     return g, centers, n_objs, clipped
+
+
+# ------------------------------------------------ set-prediction family
+#
+# The DGTR-style set transformer (models/grasp_transformer.py) decodes
+# its whole n_queries grasp set in ONE deterministic forward — no latent
+# sampling, no denoising scan — so its frame program is the cheapest of
+# all the families: perception front-end → tokenize BPS → query decode →
+# evaluator score (→ optional fused frontier tail) → exact top-k.  The
+# PRNG key is consumed by segmentation RANSAC only.
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "model", "top_k", "ransac_iters", "knn_k", "outlier_method",
+    "use_pallas", "plane_first", "refine_steps"))
+def frame_to_grasps_set(model, set_params: dict, eva_folded: dict,
+                        normalizer, basis: jax.Array, points: jax.Array,
+                        n_valid: jax.Array, key: jax.Array,
+                        top_k: int = 10, z_offset: float = 0.025,
+                        knn_k: int = 20, std_ratio: float = 2.0,
+                        plane_thresh: float = 0.01,
+                        ransac_iters: int = 1024,
+                        outlier_method: str = "radius",
+                        outlier_radius: float = 0.012,
+                        outlier_min_neighbors: int = 6,
+                        use_pallas: bool = None,
+                        plane_first: bool = True,
+                        refine_steps: int = 0
+                        ) -> Tuple[Grasps, jax.Array, jax.Array,
+                                   jax.Array]:
+    """The set-prediction closed-loop frame program: padded camera cloud →
+    segmentation → BPS → whole grasp set in one decoder forward →
+    evaluator score → exact top-k, ONE device program.
+
+    Returns at most ``min(top_k, model.n_queries)`` grasps (a set
+    predictor has no sampling axis to widen — SetEngine docstring).
+    Same (Grasps, pc_center, n_object_points, clipped) contract as
+    ``frame_to_grasps``."""
+    from dexgangrasp_tpu.engine.set_pipeline import predict_refine_topk_set
+
+    bps, center, n_obj, clipped = _segment_center_encode(
+        basis, points, n_valid, key, knn_k=knn_k, std_ratio=std_ratio,
+        plane_thresh=plane_thresh, ransac_iters=ransac_iters,
+        outlier_method=outlier_method, outlier_radius=outlier_radius,
+        outlier_min_neighbors=outlier_min_neighbors, use_pallas=use_pallas,
+        plane_first=plane_first)
+    g = predict_refine_topk_set(model, set_params, eva_folded, normalizer,
+                                bps, top_k, z_offset=z_offset,
+                                refine_steps=refine_steps)
+    return g, center, n_obj, clipped
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "model", "top_k", "ransac_iters", "knn_k", "outlier_method",
+    "plane_first", "refine_steps"))
+def frames_to_grasps_set_batch(model, set_params: dict, eva_folded: dict,
+                               normalizer, basis: jax.Array,
+                               points: jax.Array, n_valid: jax.Array,
+                               keys: jax.Array, top_k: int = 10,
+                               z_offset: float = 0.025,
+                               knn_k: int = 20, std_ratio: float = 2.0,
+                               plane_thresh: float = 0.01,
+                               ransac_iters: int = 1024,
+                               outlier_method: str = "radius",
+                               outlier_radius: float = 0.012,
+                               outlier_min_neighbors: int = 6,
+                               plane_first: bool = True,
+                               refine_steps: int = 0
+                               ) -> Tuple[Grasps, jax.Array, jax.Array,
+                                          jax.Array]:
+    """Batched ``frame_to_grasps_set`` for the serving daemon's coalescing
+    path: one device program for B concurrent frames (XLA-only, same rule
+    as the other batched variants)."""
+    def one(p, nv, k):
+        return frame_to_grasps_set(
+            model, set_params, eva_folded, normalizer, basis, p, nv, k,
+            top_k=top_k, z_offset=z_offset, knn_k=knn_k,
+            std_ratio=std_ratio, plane_thresh=plane_thresh,
+            ransac_iters=ransac_iters, outlier_method=outlier_method,
+            outlier_radius=outlier_radius,
+            outlier_min_neighbors=outlier_min_neighbors,
+            use_pallas=False, plane_first=plane_first,
+            refine_steps=refine_steps)
+
+    return jax.vmap(one)(points, n_valid, keys)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "model", "top_k", "max_objects", "min_cluster_points",
+    "ransac_iters", "knn_k", "outlier_method", "refine_steps"))
+def frame_to_grasps_multi_set(model, set_params: dict, eva_folded: dict,
+                              normalizer, basis: jax.Array,
+                              points: jax.Array, n_valid: jax.Array,
+                              key: jax.Array, top_k: int = 10,
+                              max_objects: int = 4,
+                              cluster_radius: float = 0.02,
+                              min_cluster_points: int = 30,
+                              z_offset: float = 0.025,
+                              knn_k: int = 20, std_ratio: float = 2.0,
+                              plane_thresh: float = 0.01,
+                              ransac_iters: int = 1024,
+                              outlier_method: str = "radius",
+                              outlier_radius: float = 0.012,
+                              outlier_min_neighbors: int = 6,
+                              refine_steps: int = 0
+                              ) -> Tuple[Grasps, jax.Array, jax.Array,
+                                         jax.Array]:
+    """Whole-scene serving with the set-prediction family: the multi-
+    object front-end (plane removal → clustering → per-object BPS), then
+    each object's grasp set in one vmapped decoder forward.  Same
+    (max_objects, top_k)-leading contract as ``frame_to_grasps_multi``."""
+    from dexgangrasp_tpu.engine.set_pipeline import predict_refine_topk_set
+
+    bps_b, centers, n_objs, clipped = _segment_multi_encode(
+        basis, points, n_valid, key, max_objects,
+        cluster_radius=cluster_radius,
+        min_cluster_points=min_cluster_points, knn_k=knn_k,
+        std_ratio=std_ratio, plane_thresh=plane_thresh,
+        ransac_iters=ransac_iters, outlier_method=outlier_method,
+        outlier_radius=outlier_radius,
+        outlier_min_neighbors=outlier_min_neighbors)
+
+    def per_object(bps):
+        return predict_refine_topk_set(model, set_params, eva_folded,
+                                       normalizer, bps, top_k,
+                                       z_offset=z_offset,
+                                       refine_steps=refine_steps)
+
+    g = jax.vmap(per_object)(bps_b)
+    return g, centers, n_objs, clipped

@@ -51,6 +51,40 @@ def predict_and_score_set(model: GraspTransformer, params: dict,
                   z=jnp.concatenate([g, conf[:, None]], axis=1))
 
 
+def predict_refine_topk_set(model: GraspTransformer, params: dict,
+                            eva_folded: dict, normalizer, bps: jax.Array,
+                            top_k: int, z_offset: float = 0.025,
+                            refine_steps: int = 0) -> Grasps:
+    """Fused set-family tail for the closed-loop frame programs
+    (engine/frame_pipeline.py): decode the whole query set, optionally run
+    the composed-frontier tail (evaluator-gradient ascent → SO(3)
+    projection → rescore, the same stages every other family serves), then
+    EXACT top-k — n_queries is tiny (16), so ``lax.top_k`` instead of the
+    sampling families' ``approx_max_k``.  Traced inside jit/vmap by the
+    frame programs; pure function of its inputs."""
+    g = predict_and_score_set(model, params, eva_folded, normalizer, bps,
+                              z_offset=z_offset)
+    if refine_steps:
+        from dexgangrasp_tpu.core.rotations import ortho6d_from_rot_matrix
+        from dexgangrasp_tpu.engine.refine import refine_grasps_gradient
+
+        rot, transl, joints, _ = refine_grasps_gradient(
+            eva_folded, bps, g.rot_matrix, g.transl, g.joint_conf,
+            num_steps=refine_steps)
+        # gradient ascent steps the matrix entries raw (reference
+        # :516-541) — project back to SO(3) and rescore the projected
+        # pose so ranking sees what will be served
+        rot = rot_matrix_from_ortho6d(ortho6d_from_rot_matrix(rot))
+        n = rot.shape[0]
+        pose = jnp.concatenate([rot.reshape(n, 9), transl], axis=1)
+        ectx = folding.evaluator_object_context(eva_folded, bps)
+        score = folding.evaluator_apply_folded(eva_folded, ectx, pose)
+        g = Grasps(transl=transl, rot_matrix=rot, joint_conf=joints,
+                   score=score, z=g.z)
+    _, order = jax.lax.top_k(g.score, min(top_k, model.n_queries))
+    return g.take(order)
+
+
 class SetEngine:
     """GraspEngine-compatible façade for the set-prediction family.
 

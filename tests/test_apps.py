@@ -196,6 +196,57 @@ def test_realtime_fused_diffusion_family(basis):
                                    atol=1e-4)
 
 
+def test_realtime_fused_set_family(basis):
+    """The closed-loop frame program serves the set-prediction family:
+    RealtimePipeline auto-dispatches SetEngine to frame_to_grasps_set
+    (single, batch and whole-scene paths), returns min(num_grasps,
+    n_queries) grasps, and batch slot 0 reproduces the single-frame
+    result (deterministic decode)."""
+    from dexgangrasp_tpu.engine.set_pipeline import SetEngine
+    from dexgangrasp_tpu.models.grasp_transformer import GraspTransformer
+    from dexgangrasp_tpu.models.networks import init_evaluator
+
+    model = GraspTransformer(n_queries=8, d_model=64, n_heads=4,
+                             n_layers=1)
+    params = model.init(jax.random.PRNGKey(0))
+    _, ep, es = init_evaluator(jax.random.PRNGKey(1))
+    eng = SetEngine(params, ep, es, model=model, basis=basis,
+                    cloud_pad=2048)
+    cloud = _organized_test_frame()
+    pipe = RealtimePipeline(eng, _realtime_cfg(n_samples=32, num_grasps=4))
+
+    out = pipe.step_fused(cloud=cloud, pad_n=2048, seed=0)
+    assert out["ok"]
+    assert out["filtered"]["rot_matrix"].shape == (4, 3, 3)
+    assert len(out["goals"]) == 4
+    R = out["filtered"]["rot_matrix"]
+    np.testing.assert_allclose(np.einsum("bij,bkj->bik", R, R),
+                               np.broadcast_to(np.eye(3), R.shape),
+                               atol=1e-4)
+
+    # num_grasps > n_queries: the set caps at n_queries, goals follow suit
+    pipe_big = RealtimePipeline(eng, _realtime_cfg(n_samples=32,
+                                                   num_grasps=12))
+    out_big = pipe_big.step_fused(cloud=cloud, pad_n=2048, seed=0)
+    assert out_big["filtered"]["rot_matrix"].shape == (8, 3, 3)
+    assert len(out_big["goals"]) == 8
+
+    # coalescing path parity
+    batched = pipe.step_fused_batch([cloud, cloud], pad_n=2048,
+                                    seeds=[0, 1])
+    assert batched[0]["ok"] and batched[1]["ok"]
+    np.testing.assert_allclose(out["filtered"]["transl"],
+                               batched[0]["filtered"]["transl"],
+                               rtol=1e-5, atol=1e-5)
+
+    # whole-scene path dispatches and returns one result per slot
+    outs = pipe.step_fused_multi(cloud=cloud, pad_n=2048, seed=0,
+                                 max_objects=2, min_cluster_points=20)
+    assert len(outs) == 2
+    assert outs[0]["ok"]
+    assert outs[0]["filtered"]["rot_matrix"].shape == (4, 3, 3)
+
+
 def test_realtime_run_fused_overlap(engine):
     """Double-buffered serving (run_fused): results arrive per frame, in
     order, identical to the serial step_fused path (same seeds)."""
@@ -756,3 +807,23 @@ def test_grasp_service_scene_clamps_max_objects(engine):
         out_small = client.scene(cloud, seed=0, max_objects=1)
         assert len(out_small) == 1
         assert out_small[0]["ok"]
+
+
+def test_serve_family_name_labels():
+    """The /healthz-/reload family label mirrors the dispatch seam: the
+    three engine shapes map to their wire names (set = the no-folded-
+    params fallback)."""
+    from dexgangrasp_tpu.apps.serve import _family_name
+
+    class _D:
+        diff_params = {}
+
+    class _G:
+        gen_folded = {}
+
+    class _S:
+        pass
+
+    assert _family_name(_D()) == "diffusion"
+    assert _family_name(_G()) == "gan"
+    assert _family_name(_S()) == "set"

@@ -295,3 +295,125 @@ def test_frame_to_grasps_diffusion_student_branch():
         refine_steps=2)
     assert gm.transl.shape == (2, 4, 3)
     assert int(n_objs[0]) > 0
+
+
+def test_frame_to_grasps_set_end_to_end():
+    """The set-prediction frame program: same perception front-end, one
+    deterministic decoder forward — valid sorted grasps, deterministic
+    across calls with the same key, and the fused frontier tail is live."""
+    from dexgangrasp_tpu.engine.frame_pipeline import frame_to_grasps_set
+    from dexgangrasp_tpu.models.grasp_transformer import GraspTransformer
+
+    model = GraspTransformer(n_queries=8, d_model=64, n_heads=4, n_layers=1)
+    sp = model.init(jax.random.PRNGKey(0))
+    _, ep, es = init_evaluator(jax.random.PRNGKey(1))
+    ef = folding.fold_evaluator(ep, es)
+    basis = generate_basis(jax.random.PRNGKey(2), 4096, 0.2)
+    padded, n_valid, obj_center = _toy_scene()
+
+    common = dict(top_k=5, ransac_iters=256, outlier_method="statistical")
+    g, center, n_obj, clipped = frame_to_grasps_set(
+        model, sp, ef, None, basis, jnp.asarray(padded),
+        jnp.asarray(n_valid), jax.random.PRNGKey(3), **common)
+    assert g.transl.shape == (5, 3)
+    assert (np.diff(np.asarray(g.score)) <= 1e-6).all()
+    assert np.linalg.norm(np.asarray(center) - obj_center) < 0.02
+    assert int(n_obj) > 0 and not bool(clipped)
+    R = np.asarray(g.rot_matrix)
+    np.testing.assert_allclose(np.einsum("bij,bkj->bik", R, R),
+                               np.broadcast_to(np.eye(3), R.shape),
+                               atol=1e-4)
+    # no sampling axis: the same key (segmentation RANSAC only) must
+    # reproduce the set bit-exactly
+    g2, _, _, _ = frame_to_grasps_set(
+        model, sp, ef, None, basis, jnp.asarray(padded),
+        jnp.asarray(n_valid), jax.random.PRNGKey(3), **common)
+    np.testing.assert_array_equal(np.asarray(g.transl),
+                                  np.asarray(g2.transl))
+    # fused frontier tail moves the grasps and keeps rotations valid
+    gr, _, _, _ = frame_to_grasps_set(
+        model, sp, ef, None, basis, jnp.asarray(padded),
+        jnp.asarray(n_valid), jax.random.PRNGKey(3), refine_steps=3,
+        **common)
+    assert np.max(np.abs(np.asarray(gr.transl) - np.asarray(g.transl))) > 0
+    Rr = np.asarray(gr.rot_matrix)
+    np.testing.assert_allclose(np.einsum("bij,bkj->bik", Rr, Rr),
+                               np.broadcast_to(np.eye(3), Rr.shape),
+                               atol=1e-4)
+
+
+def test_frames_to_grasps_set_batch_matches_single():
+    """The coalescing path's batched set program must reproduce the
+    per-frame program exactly (deterministic decode, kernels off)."""
+    from dexgangrasp_tpu.engine.frame_pipeline import (
+        frame_to_grasps_set,
+        frames_to_grasps_set_batch,
+    )
+    from dexgangrasp_tpu.models.grasp_transformer import GraspTransformer
+
+    model = GraspTransformer(n_queries=8, d_model=64, n_heads=4, n_layers=1)
+    sp = model.init(jax.random.PRNGKey(0))
+    _, ep, es = init_evaluator(jax.random.PRNGKey(1))
+    ef = folding.fold_evaluator(ep, es)
+    basis = generate_basis(jax.random.PRNGKey(2), 4096, 0.2)
+    padded, n_valid, _ = _toy_scene()
+
+    common = dict(top_k=4, ransac_iters=256, outlier_method="statistical")
+    singles = [frame_to_grasps_set(
+        model, sp, ef, None, basis, jnp.asarray(padded),
+        jnp.asarray(n_valid), jax.random.PRNGKey(s), use_pallas=False,
+        **common) for s in (3, 4)]
+    keys = jnp.stack([jax.random.PRNGKey(3), jax.random.PRNGKey(4)])
+    pts = jnp.stack([jnp.asarray(padded)] * 2)
+    nv = jnp.asarray([n_valid, n_valid])
+    gb, centers, n_objs, _ = frames_to_grasps_set_batch(
+        model, sp, ef, None, basis, pts, nv, keys, **common)
+    for i, (g, c, n, _cl) in enumerate(singles):
+        np.testing.assert_allclose(np.asarray(gb.transl[i]),
+                                   np.asarray(g.transl), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(centers[i]), np.asarray(c),
+                                   atol=1e-6)
+        assert int(n_objs[i]) == int(n)
+
+
+def test_frame_to_grasps_multi_set_two_objects():
+    """Whole-scene set serving: per-object decoded sets with the same
+    slot/empty contract as the other multi programs."""
+    from dexgangrasp_tpu.engine.frame_pipeline import (
+        frame_to_grasps_multi_set,
+    )
+    from dexgangrasp_tpu.models.grasp_transformer import GraspTransformer
+
+    model = GraspTransformer(n_queries=8, d_model=64, n_heads=4, n_layers=1)
+    sp = model.init(jax.random.PRNGKey(0))
+    _, ep, es = init_evaluator(jax.random.PRNGKey(1))
+    ef = folding.fold_evaluator(ep, es)
+    basis = generate_basis(jax.random.PRNGKey(2), 4096, 0.2)
+
+    local = np.random.default_rng(11)
+    plane = np.concatenate(
+        [local.uniform(-0.3, 0.3, (1600, 2)),
+         0.5 + local.normal(size=(1600, 1)) * 0.002], axis=1)
+    c1, c2 = np.array([0.10, 0.0, 0.35]), np.array([-0.12, 0.05, 0.33])
+    obj1 = local.normal(size=(350, 3)) * 0.012 + c1
+    obj2 = local.normal(size=(220, 3)) * 0.012 + c2
+    pts = np.concatenate([plane, obj1, obj2]).astype(np.float32)
+    padded = pad_cloud(pts, 4096)
+
+    g, centers, n_objs, clipped = frame_to_grasps_multi_set(
+        model, sp, ef, None, basis, jnp.asarray(padded),
+        jnp.asarray(pts.shape[0]), jax.random.PRNGKey(3), top_k=6,
+        max_objects=3, ransac_iters=256, outlier_method="statistical",
+        cluster_radius=0.02, min_cluster_points=40, refine_steps=2)
+    centers, n_objs = np.asarray(centers), np.asarray(n_objs)
+
+    assert g.transl.shape == (3, 6, 3)
+    assert n_objs[0] > 0 and n_objs[1] > 0 and n_objs[2] == 0
+    assert np.linalg.norm(centers[0] - c1) < 0.02
+    assert np.linalg.norm(centers[1] - c2) < 0.02
+    for k in range(2):
+        R = np.asarray(g.rot_matrix[k])
+        np.testing.assert_allclose(np.einsum("bij,bkj->bik", R, R),
+                                   np.broadcast_to(np.eye(3), R.shape),
+                                   atol=1e-4)
+        assert (np.diff(np.asarray(g.score[k])) <= 1e-6).all()
