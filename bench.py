@@ -409,6 +409,40 @@ def main():
     except Exception as e:
         extras["student_n1000_ms"] = f"error: {e}"
 
+    # SET-PREDICTION serving latency (round 4): the DGTR-style family
+    # (models/grasp_transformer.py) emits its whole n_queries=16 grasp set
+    # in ONE deterministic forward — no sampling axis, so the comparable
+    # metric is per-set, not per-1000.  Weight-independent (fresh init).
+    try:
+        from dexgangrasp_tpu.engine.set_pipeline import (
+            predict_refine_topk_set,
+        )
+        from dexgangrasp_tpu.models.grasp_transformer import GraspTransformer
+
+        tmodel = GraspTransformer()
+        tparams = tmodel.init(jax.random.PRNGKey(8))
+
+        def set_bench(refine_steps):
+            @jax.jit
+            def chain(key):
+                def body(i, acc):
+                    g = predict_refine_topk_set(
+                        tmodel, tparams, eva_folded, None,
+                        bps + acc * 1e-12, top_k=10,
+                        refine_steps=refine_steps)
+                    return acc + g.score[0] + g.transl[0].sum()
+                return jax.lax.fori_loop(0, 10, body, jnp.float32(0.0))
+
+            float(np.asarray(chain(jax.random.PRNGKey(0))))
+            t0 = time.perf_counter()
+            float(np.asarray(chain(jax.random.PRNGKey(1))))
+            return round((time.perf_counter() - t0) * 100.0, 3)
+
+        extras["set_n16_ms"] = set_bench(0)
+        extras["set_frontier_n16_ms"] = set_bench(10)
+    except Exception as e:
+        extras["set_n16_ms"] = f"error: {e}"
+
     print(json.dumps({
         "metric": "grasps_per_sec",
         "value": round(best, 1),

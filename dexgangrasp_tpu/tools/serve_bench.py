@@ -60,6 +60,11 @@ def build_pipeline(family: str, n_samples: int):
 
         engine = load_distill_bench_engine(
             refine_steps=10 if family == "distill_frontier" else 0)
+    elif family in ("set", "set_frontier"):
+        from dexgangrasp_tpu.cli import load_set_bench_engine
+
+        engine = load_set_bench_engine(
+            refine_steps=10 if family == "set_frontier" else 0)
     else:
         from dexgangrasp_tpu.engine.diffusion_pipeline import DiffusionEngine
 
@@ -127,7 +132,7 @@ def main():
     ap.add_argument("--family",
                     choices=("gan", "diffusion", "guided", "frontier",
                              "vae", "vae_frontier", "distill",
-                             "distill_frontier"),
+                             "distill_frontier", "set", "set_frontier"),
                     default="guided")
     ap.add_argument("--n-samples", type=int, default=1000)
     ap.add_argument("--clients", type=int, nargs="+", default=[1, 2, 4, 8])

@@ -40,6 +40,26 @@ ROT_COEF = 1.0
 JOINT_COEF = 10.0
 
 
+def _constrain_views(tree, mesh):
+    """Constrain every leaf's leading (views) axis to shard over the
+    mesh's data-parallel axes — the same dp regime as the other three
+    train paths (train/fast.py ``_constrain_dp``; psum replaces
+    DataParallel's gather, reference ``dexgangrasp.py:127-129``).  The
+    host Hungarian seam is unaffected: matching is per-view, so the
+    (B, n_q) index upload shards the same way as the batch."""
+    if mesh is None:
+        return tree
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dexgangrasp_tpu.parallel.sharding import dp_axes
+
+    axes = dp_axes(mesh)
+    return jax.tree.map(
+        lambda x: jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(*((axes,) + (None,) * (x.ndim - 1))))),
+        tree)
+
+
 def build_set_table(ds, max_grasps: int = 32,
                     seed: int = 0) -> Dict[str, np.ndarray]:
     """Per-VIEW table: {"bps" (V, 4096), "gt" (V, M, 21), "mask" (V, M)}.
@@ -104,12 +124,14 @@ class SetTrainer:
 
     # --------------------------------------------------------------- cost
 
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def cost_matrix(self, params: dict, bps: jax.Array, gt: jax.Array
-                    ) -> jax.Array:
+    @functools.partial(jax.jit, static_argnames=("self", "mesh"))
+    def cost_matrix(self, params: dict, bps: jax.Array, gt: jax.Array,
+                    mesh=None) -> jax.Array:
         """(B, 4096), (B, M, 21) → (B, n_q, M) matching cost (the same
         weighted regression the loss descends; confidence is deliberately
-        excluded from the cost, as in DETR's class-agnostic L1 part)."""
+        excluded from the cost, as in DETR's class-agnostic L1 part).
+        With ``mesh``, the views axis shards over dp (params replicated)."""
+        bps, gt = _constrain_views((bps, gt), mesh)
         pred, _ = self.model.apply_batch(params, bps)
         return self._pair_cost(pred, gt)
 
@@ -140,8 +162,10 @@ class SetTrainer:
 
     # --------------------------------------------------------------- step
 
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def _grad_step(self, ts: SetTrainState, bps, gt, midx, mok):
+    @functools.partial(jax.jit, static_argnames=("self", "mesh"))
+    def _grad_step(self, ts: SetTrainState, bps, gt, midx, mok, mesh=None):
+        bps, gt, midx, mok = _constrain_views((bps, gt, midx, mok), mesh)
+
         def loss_fn(params):
             pred, logit = self.model.apply_batch(params, bps)
             tgt = jnp.take_along_axis(gt, midx[..., None], axis=1)
@@ -165,13 +189,16 @@ class SetTrainer:
                 {"loss": loss, "reg": reg, "bce": bce})
 
     def train_step(self, ts: SetTrainState, bps: np.ndarray,
-                   gt: np.ndarray, mask: np.ndarray):
-        """One DETR step: jit cost → host Hungarian → jit grad step."""
+                   gt: np.ndarray, mask: np.ndarray, mesh=None):
+        """One DETR step: jit cost → host Hungarian → jit grad step.
+        ``mesh``: dp-shard the views axis of both device programs (the
+        gradient all-reduce over 'data' is inserted by GSPMD)."""
         cost = np.asarray(self.cost_matrix(ts.params, jnp.asarray(bps),
-                                           jnp.asarray(gt)))
+                                           jnp.asarray(gt), mesh=mesh))
         midx, mok = self.match(cost, mask)
         return self._grad_step(ts, jnp.asarray(bps), jnp.asarray(gt),
-                               jnp.asarray(midx), jnp.asarray(mok))
+                               jnp.asarray(midx), jnp.asarray(mok),
+                               mesh=mesh)
 
 
 def train_set_transformer(trainer: SetTrainer, ts: SetTrainState,
@@ -179,8 +206,8 @@ def train_set_transformer(trainer: SetTrainer, ts: SetTrainState,
                           batch_views: int = 32, seed: int = 0,
                           eval_table: Optional[Dict[str, np.ndarray]] = None,
                           eval_every: int = 1000,
-                          log: Optional[Callable[[str], None]] = None
-                          ) -> Tuple[SetTrainState, list]:
+                          log: Optional[Callable[[str], None]] = None,
+                          mesh=None) -> Tuple[SetTrainState, list]:
     """Minibatch-of-views loop; history carries train losses and (if an
     eval table is given) the eval-split matched regression cost."""
     rng = np.random.default_rng(seed)
@@ -193,7 +220,7 @@ def train_set_transformer(trainer: SetTrainer, ts: SetTrainState,
     for i in range(1, total_steps + 1):
         vi = rng.integers(0, v, batch_views)
         ts, logs = trainer.train_step(ts, table["bps"][vi], gt_n[vi],
-                                      table["mask"][vi])
+                                      table["mask"][vi], mesh=mesh)
         run.append(logs)
         if i % eval_every == 0 or i == total_steps:
             m = {"step": i}

@@ -59,6 +59,7 @@ SLOW_TESTS = {
     "test_evaluator_chunk_sharded_matches_single_device",
     "test_gan_chunk_sharded_matches_single_device",
     "test_diffusion_chunk_sharded_matches_single_device",
+    "test_set_step_sharded_matches_single_device",
     # host train drivers end-to-end
     "test_driver_end_to_end_and_resume",
     "test_cli_fast_train",

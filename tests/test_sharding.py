@@ -376,3 +376,35 @@ def test_diffusion_chunk_sharded_matches_single_device():
         a, b = np.asarray(a), np.asarray(b)
         np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3)
         assert np.mean(np.abs(a - b)) < 2e-5
+
+
+def test_set_step_sharded_matches_single_device():
+    """The set-prediction trainer's two device programs (cost matrix +
+    grad step) dp-shard the views axis; the host Hungarian seam between
+    them is per-view, so the sharded run must reproduce the unsharded
+    matching AND numerics."""
+    from dexgangrasp_tpu.models.grasp_transformer import GraspTransformer
+    from dexgangrasp_tpu.parallel.sharding import replicate
+    from dexgangrasp_tpu.train.set_transformer import SetTrainer
+
+    model = GraspTransformer(n_queries=8, n_layers=2)
+    trainer = SetTrainer(model)
+    v, m_gt = 16, 6
+    bps = rng.uniform(0, 0.2, (v, 4096)).astype(np.float32)
+    gt = rng.normal(size=(v, m_gt, model.g_dim)).astype(np.float32)
+    mask = np.zeros((v, m_gt), np.float32)
+    for i in range(v):  # prefix-form validity (build_set_table contract)
+        mask[i, : int(rng.integers(1, m_gt + 1))] = 1.0
+
+    ts_ref = trainer.init_state(jax.random.PRNGKey(9))
+    mesh = data_parallel_mesh(8)
+    ts_sh = replicate(ts_ref, mesh)
+    for _ in range(2):
+        ts_ref, log_ref = trainer.train_step(ts_ref, bps, gt, mask)
+        ts_sh, log_sh = trainer.train_step(ts_sh, bps, gt, mask, mesh=mesh)
+
+    assert abs(float(log_ref["loss"]) - float(log_sh["loss"])) < 1e-4
+    for a, b in zip(jax.tree.leaves(ts_ref.params),
+                    jax.tree.leaves(ts_sh.params)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3)
