@@ -178,3 +178,36 @@ def test_pcd_dataset(tmp_path):
     assert set(np.unique(batch["label"])) <= {0.0, 1.0}
     n = normalize_pc(rng.normal(size=(10, 3)))
     assert abs(np.linalg.norm(n, axis=1).max() - 1.0) < 1e-9
+
+
+def test_closed_loop_report(tmp_path, capsys):
+    """The capture-jsonl tabulator groups passes, medians across them,
+    and computes the depth-2 freshness/rate trade per family."""
+    import json
+
+    from dexgangrasp_tpu.tools import closed_loop_report as clr
+
+    rows = []
+    for v, p50, p95 in [(20.0, 40.0, 50.0), (24.0, 44.0, 54.0)]:
+        rows.append({"metric": "closed_loop_fps", "value": v,
+                     "family": "guided", "depth": 1, "serial_fps": v - 1,
+                     "latency_p50_ms": p50, "latency_p95_ms": p95,
+                     "host_prep_ms": 3.0})
+    rows.append({"metric": "closed_loop_fps", "value": 33.0,
+                 "family": "guided", "depth": 2, "serial_fps": 20.0,
+                 "latency_p50_ms": 50.0, "latency_p95_ms": 70.0,
+                 "host_prep_ms": 3.0})
+    rows.append({"metric": "closed_loop_multi_fps", "value": 11.0,
+                 "family": "gan", "n_objects": 2, "objects_found": 2,
+                 "object_rate_per_s": 22.0})
+    path = tmp_path / "cl.jsonl"
+    path.write_text("".join(json.dumps(r) + "\n" for r in rows))
+
+    clr.main([str(path)])
+    out = capsys.readouterr().out
+    # median of the two depth-1 passes, spread preserved
+    assert "22.0 (20.0–24.0)" in out
+    # depth trade: 33/22 = 1.50x, +8.0 ms p50, +18.0 ms p95
+    assert "| guided | 1.50× | +8.0 | +18.0 |" in out
+    # multi row with found/K and object rate
+    assert "| gan | 2 | 1 | 11.0 | 2/2 | 22.0 |" in out
