@@ -155,6 +155,7 @@ def main():
         kw = dict(pad_n=pad_n, voxel=voxel, max_objects=args.multi)
         outs = pipe.step_fused_multi(cloud=frame, seed=0, **kw)  # compile
         n_ok = sum(1 for o in outs if o["ok"])
+        n_clipped = sum(1 for o in outs if o.get("clipped"))
         t0 = time.perf_counter()
         for i in range(args.iters):
             pipe.step_fused_multi(cloud=frame, seed=i + 1, **kw)
@@ -164,6 +165,7 @@ def main():
                   "unit": "frames/s", "vs_baseline": round(fps / 15, 3),
                   "family": args.family, "n_objects": args.multi,
                   "objects_found": n_ok,
+                  "objects_clipped": n_clipped,
                   "object_rate_per_s": round(fps * n_ok, 2),
                   "native_host_ops": native.available()}
         print(json.dumps(result))

@@ -397,7 +397,8 @@ def _segment_multi_encode(basis, points, n_valid, k_seg, max_objects,
                           cluster_radius=0.02, min_cluster_points=30,
                           knn_k=20, std_ratio=2.0, plane_thresh=0.01,
                           ransac_iters=1024, outlier_method="radius",
-                          outlier_radius=0.012, outlier_min_neighbors=6):
+                          outlier_radius=0.012, outlier_min_neighbors=6,
+                          tabletop_prior=0.25):
     """Multi-object perception front-end: padded cloud → per-object
     (bps (K, 4096), centers (K, 3), n_points (K,), clipped (K,)).
 
@@ -406,7 +407,16 @@ def _segment_multi_encode(basis, points, n_valid, k_seg, max_objects,
     (their grasps are garbage, same contract as the single-object
     n_obj=0 empty-frame case).  ``clipped`` ORs per-object buffer
     truncation with scene-buffer truncation (see
-    ``_segment_center_encode``)."""
+    ``_segment_center_encode``).
+
+    Two knobs differ from the single-object front-end because a K-object
+    scene has a much larger non-plane fraction by design: the plane fit
+    runs with a ``tabletop_prior`` (see ``ransac_plane_device`` — with
+    4 objects covering most of the ROI, a max-inlier fit removes an
+    object-top plane instead of the table and every cluster comes up
+    empty), and the candidate buffer is half- instead of quarter-size
+    (truncating a crowded scene thins point density below the radius
+    outlier filter's min_neighbors and wipes the cloud)."""
     from dexgangrasp_tpu.ops.perception import (
         euclidean_cluster_device,
         radius_outlier_mask_device,
@@ -416,9 +426,10 @@ def _segment_multi_encode(basis, points, n_valid, k_seg, max_objects,
 
     valid = jnp.arange(points.shape[0]) < n_valid
     _, plane_inliers = ransac_plane_device(points, n_valid, k_seg,
-                                           plane_thresh, ransac_iters)
+                                           plane_thresh, ransac_iters,
+                                           tabletop_prior=tabletop_prior)
     cand = valid & ~plane_inliers
-    out_size = max(1024, points.shape[0] // 4)
+    out_size = max(1024, points.shape[0] // 2)
     buf = compact_masked_points(points, cand, out_size)
     m = jnp.minimum(jnp.sum(cand), out_size)
     if outlier_method == "radius":

@@ -123,14 +123,29 @@ def radius_outlier_mask_device(points: jax.Array, n_valid: jax.Array,
     return valid & (counts >= min_neighbors)
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
+@functools.partial(jax.jit, static_argnames=("iterations", "tabletop_prior"))
 def ransac_plane_device(points: jax.Array, n_valid: jax.Array,
                         key: jax.Array, dist_thresh: float = 0.01,
-                        iterations: int = 1024
+                        iterations: int = 1024,
+                        tabletop_prior: float = 0.0
                         ) -> Tuple[jax.Array, jax.Array]:
     """(N, 3) padded cloud → (plane [a,b,c,d], bool inlier mask).
 
     All T hypotheses scored in one (T, N) pass; padded entries excluded.
+
+    ``tabletop_prior`` (static; 0 disables): pure max-inlier RANSAC picks
+    the WRONG plane when non-table points outvote the visible table — e.g.
+    several flat objects whose coplanar tops cover most of the ROI get
+    "removed as the table" and the object clusters downstream come up
+    empty (found as the K=4 whole-scene bench failure).  With the prior
+    set to a fraction f ∈ (0, 1], every hypothesis with ≥ f·max_count
+    inliers is eligible and the DEEPEST eligible plane (largest inlier
+    mean z — camera looks along +z, so the support surface is behind the
+    objects standing on it) wins.  On a well-formed frame the table is
+    both max-count and deepest, so the prior changes nothing; it only
+    breaks ties away from object-top planes.  Assumes the (ROI-cropped)
+    cloud contains a single support surface — with a floor visible beyond
+    the table's edge the deepest-plane rule would prefer the floor.
     """
     n = points.shape[0]
     valid = jnp.arange(n) < n_valid
@@ -149,9 +164,24 @@ def ransac_plane_device(points: jax.Array, n_valid: jax.Array,
     dist = jnp.abs(jnp.matmul(normals, points.T,
                               precision=jax.lax.Precision.HIGHEST)
                    + d[:, None])
-    counts = jnp.sum((dist < dist_thresh) & valid[None, :], axis=1)
+    inlier_mask = (dist < dist_thresh) & valid[None, :]
+    counts = jnp.sum(inlier_mask, axis=1)
     counts = jnp.where(ok, counts, -1)
-    best = jnp.argmax(counts)
+    if tabletop_prior:
+        z_sum = jnp.matmul(inlier_mask.astype(points.dtype), points[:, 2],
+                           precision=jax.lax.Precision.HIGHEST)
+        z_mean = z_sum / jnp.maximum(counts.astype(points.dtype), 1.0)
+        eligible = ok & (counts >= tabletop_prior
+                         * jnp.max(counts).astype(points.dtype))
+        # deepest eligible DEPTH BAND, then max count within it: a raw
+        # argmax over z_mean favors slightly tilted table fits (tilting
+        # away from the shallow half raises the inlier mean z by up to
+        # ~dist_thresh while shedding inliers)
+        best_z = jnp.max(jnp.where(eligible, z_mean, -jnp.inf))
+        near_deep = eligible & (z_mean >= best_z - dist_thresh)
+        best = jnp.argmax(jnp.where(near_deep, counts, -1))
+    else:
+        best = jnp.argmax(counts)
     plane = jnp.concatenate([normals[best], d[best][None]])
     inliers = valid & (jnp.abs(points @ plane[:3] + plane[3]) < dist_thresh)
     return plane, inliers

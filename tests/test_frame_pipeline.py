@@ -187,6 +187,49 @@ def test_frame_to_grasps_multi_two_objects():
         assert (np.diff(s) <= 1e-6).all()  # per-object sorted top-k
 
 
+def test_frame_to_grasps_multi_crowded_scene_finds_all_objects():
+    """Regression for the K=4 whole-scene failure: when object points
+    outnumber table points, max-inlier RANSAC used to remove a coplanar
+    object-top 'plane' instead of the table and every cluster came up
+    empty (closed_loop_r4 objects_found=0).  The multi front-end now runs
+    the plane fit with a tabletop prior and a half-size candidate buffer
+    — all four objects must be found."""
+    from dexgangrasp_tpu.engine.frame_pipeline import frame_to_grasps_multi
+
+    (_, gp, gs), _ = init_dexgan(jax.random.PRNGKey(0))
+    _, ep, es = init_evaluator(jax.random.PRNGKey(1))
+    gf = folding.fold_generator(gp, gs)
+    ef = folding.fold_evaluator(ep, es)
+    basis = generate_basis(jax.random.PRNGKey(2), 4096, 0.2)
+
+    local = np.random.default_rng(13)
+    table = np.concatenate(
+        [local.uniform(-0.25, 0.25, (700, 2)),
+         0.5 + local.normal(size=(700, 1)) * 0.002], axis=1)
+    centers = np.array([[0.12, 0.12, 0.35], [-0.12, 0.12, 0.35],
+                        [0.12, -0.12, 0.35], [-0.12, -0.12, 0.35]])
+    # object tops loosely coplanar and 2800 > 700 table points — the
+    # max-inlier plane is the object slab, not the table
+    objs = [local.normal(size=(450, 3)) * [0.015, 0.015, 0.004] + c
+            for c in centers]
+    pts = np.concatenate([table] + objs).astype(np.float32)
+    padded = pad_cloud(pts, 4096)
+
+    g, got_centers, n_objs, clipped = frame_to_grasps_multi(
+        gf, ef, basis, jnp.asarray(padded), jnp.asarray(pts.shape[0]),
+        jax.random.PRNGKey(3), n_samples=128, top_k=4, max_objects=4,
+        ransac_iters=256, outlier_method="statistical",
+        cluster_radius=0.03, min_cluster_points=40)
+    n_objs = np.asarray(n_objs)
+    got_centers = np.asarray(got_centers)
+
+    assert (n_objs > 0).all(), n_objs
+    # every true object matched by exactly one found centroid
+    d = np.linalg.norm(got_centers[:, None] - centers[None], axis=-1)
+    assert (d.min(axis=1) < 0.03).all()
+    assert len(set(d.argmin(axis=1))) == 4
+
+
 def test_frame_to_grasps_multi_matches_single_on_one_object():
     """With one object in the scene, the multi program's slot-0 perception
     (center, object point count) must agree with the single-object

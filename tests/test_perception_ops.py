@@ -63,6 +63,40 @@ def test_ransac_plane_device():
     assert not inliers[1700:].any()  # padding excluded
 
 
+def test_ransac_tabletop_prior_prefers_support_plane():
+    """When coplanar object tops outvote the visible table (e.g. flat
+    boxes covering most of the ROI — the K=4 whole-scene bench failure),
+    max-inlier RANSAC removes the object plane; the tabletop prior keeps
+    eligibility by count but picks the DEEPEST eligible plane, which is
+    the support surface."""
+    local = np.random.default_rng(7)
+    table = np.concatenate(
+        [local.uniform(-0.3, 0.3, (600, 2)),
+         0.5 + local.normal(size=(600, 1)) * 0.002], axis=1)
+    # "box tops": more points than the table, loosely coplanar nearer
+    # the camera (smaller z) — a 1 cm-threshold plane catches most
+    tops = np.concatenate(
+        [local.uniform(-0.3, 0.3, (1400, 2)),
+         0.35 + local.normal(size=(1400, 1)) * 0.004], axis=1)
+    pts = np.concatenate([table, tops]).astype(np.float32)
+    padded = pad_cloud(pts, 2048)
+    n = jnp.asarray(pts.shape[0])
+
+    _, inl0 = ransac_plane_device(jnp.asarray(padded), n,
+                                  jax.random.PRNGKey(0))
+    inl0 = np.asarray(inl0)
+    assert inl0[600:2000].mean() > 0.9  # default: picks the box-top plane
+    assert inl0[:600].mean() < 0.05
+
+    _, inl1 = ransac_plane_device(jnp.asarray(padded), n,
+                                  jax.random.PRNGKey(0),
+                                  tabletop_prior=0.25)
+    inl1 = np.asarray(inl1)
+    assert inl1[:600].mean() > 0.95  # prior: picks the (deeper) table
+    assert inl1[600:2000].mean() < 0.05
+    assert not inl1[2000:].any()  # padding excluded
+
+
 def test_segment_object_device_end_to_end():
     plane_pts = np.concatenate(
         [rng.uniform(-0.3, 0.3, (1500, 2)),
