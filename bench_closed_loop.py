@@ -150,23 +150,52 @@ def main():
     pad_n, voxel = 8192, 0.006
 
     if args.multi:
-        # whole-scene serving: K objects, one device program per frame
+        # whole-scene serving: K objects, one device program per frame —
+        # same serial/pipelined/latency protocol as the single-object path
+        import math
+
         frame = make_frame(rng, n_objects=args.multi)
         kw = dict(pad_n=pad_n, voxel=voxel, max_objects=args.multi)
         outs = pipe.step_fused_multi(cloud=frame, seed=0, **kw)  # compile
         n_ok = sum(1 for o in outs if o["ok"])
         n_clipped = sum(1 for o in outs if o.get("clipped"))
+
         t0 = time.perf_counter()
         for i in range(args.iters):
             pipe.step_fused_multi(cloud=frame, seed=i + 1, **kw)
-        dt = (time.perf_counter() - t0) / args.iters
-        fps = 1 / dt
+        dt_serial = (time.perf_counter() - t0) / args.iters
+
+        t_capture = []
+
+        def frame_source():
+            for _ in range(args.iters):
+                t_capture.append(time.perf_counter())
+                yield frame
+
+        lat = []
+        t0 = time.perf_counter()
+        for res in pipe.run_fused_multi(frame_source(), pad_n=pad_n,
+                                        voxel=voxel, depth=args.depth,
+                                        max_objects=args.multi):
+            lat.append(time.perf_counter() - t_capture[len(lat)])
+        n_done = len(lat)
+        dt_overlap = (time.perf_counter() - t0) / n_done
+        lat_sorted = sorted(lat)
+        lat_p50 = lat_sorted[n_done // 2]
+        lat_p95 = lat_sorted[min(n_done - 1,
+                                 max(0, math.ceil(0.95 * n_done) - 1))]
+
+        fps = 1 / dt_overlap
         result = {"metric": "closed_loop_multi_fps", "value": round(fps, 2),
                   "unit": "frames/s", "vs_baseline": round(fps / 15, 3),
                   "family": args.family, "n_objects": args.multi,
                   "objects_found": n_ok,
                   "objects_clipped": n_clipped,
                   "object_rate_per_s": round(fps * n_ok, 2),
+                  "serial_fps": round(1 / dt_serial, 2),
+                  "depth": args.depth,
+                  "latency_p50_ms": round(lat_p50 * 1000, 2),
+                  "latency_p95_ms": round(lat_p95 * 1000, 2),
                   "native_host_ops": native.available()}
         print(json.dumps(result))
         if args.out:

@@ -315,11 +315,14 @@ class GraspServer:
                     self.scene_max_objects)
         padded, n_valid = self.pipeline._prep_frame(cloud, self.pad_n,
                                                     self.voxel)
+        # permit held only for launch + materialize; goals assembly is
+        # host work and runs outside it (same rule as _serve_one's prep)
         with self._device_sem:
-            results = self.pipeline._finalize_frame_batch(
+            mat = self.pipeline._materialize_frame_batch(
                 self.pipeline._launch_frame_multi(
                     padded, n_valid, seed,
                     max_objects=self.scene_max_objects))
+        results = self.pipeline._assemble_result_batch(mat)
         results = results[:max(1, k_req)]
         with self._stats_lock:
             self._n_requests += 1
@@ -395,10 +398,13 @@ class GraspServer:
             n_valid = np.asarray([it[1] for it in batch]
                                  + [batch[-1][1]] * (bucket - b))
             seeds = [it[2] for it in batch] + [0] * (bucket - b)
+            # permit held only for launch + materialize; per-slot goals
+            # assembly happens outside it on this worker thread
             with self._device_sem:
-                results = self.pipeline._finalize_frame_batch(
+                mat = self.pipeline._materialize_frame_batch(
                     self.pipeline._launch_frame_batch(padded, n_valid,
                                                       seeds))
+            results = self.pipeline._assemble_result_batch(mat)
             for (_, _, _, fut), res in zip(batch, results):
                 fut.set_result(res)
         except Exception as e:

@@ -98,9 +98,33 @@ def make_client_cloud(rng, n=8000):
     return cloud
 
 
-def run_load(endpoint: str, cloud, clients: int, reqs: int):
+def make_scene_cloud(rng, k: int, n=12000):
+    """A pre-cropped tabletop SCENE: plane patch + K separated object
+    blobs, flat (N, 3) — what a robot-side client ships to /scene."""
+    import numpy as np
+
+    n_plane = n // 2
+    plane = np.stack([rng.uniform(-0.3, 0.3, n_plane),
+                      rng.uniform(-0.25, 0.25, n_plane),
+                      np.full(n_plane, 0.9)], axis=1)
+    spots = [(-0.18, -0.12), (0.18, -0.12), (-0.18, 0.12), (0.18, 0.12)]
+    n_obj = (n - n_plane) // k
+    blobs = []
+    for cx, cy in spots[:k]:
+        blobs.append(np.stack([cx + rng.uniform(-0.04, 0.04, n_obj),
+                               cy + rng.uniform(-0.04, 0.04, n_obj),
+                               0.82 + 0.04 * rng.random(n_obj)], axis=1))
+    cloud = np.concatenate([plane] + blobs).astype(np.float32)
+    cloud += rng.normal(size=cloud.shape).astype(np.float32) * 5e-4
+    return cloud
+
+
+def run_load(endpoint: str, cloud, clients: int, reqs: int,
+             scene_k: int = 0):
     """C concurrent closed-loop clients × R sequential requests each;
-    returns (requests/s, latency list seconds)."""
+    returns (requests/s, latency list seconds).  ``scene_k`` > 0 posts
+    whole-scene requests (POST /scene, K objects per frame) instead of
+    single-object /grasps."""
     from concurrent.futures import ThreadPoolExecutor
 
     from dexgangrasp_tpu.apps.serve import GraspServiceClient
@@ -112,9 +136,14 @@ def run_load(endpoint: str, cloud, clients: int, reqs: int):
         mine = []
         for r in range(reqs):
             t0 = time.perf_counter()
-            out = cl(cloud, seed=cid * 1000 + r)
+            if scene_k:
+                outs = cl.scene(cloud, seed=cid * 1000 + r,
+                                max_objects=scene_k)
+                ok = any(o["ok"] for o in outs)
+            else:
+                ok = cl(cloud, seed=cid * 1000 + r)["ok"]
             mine.append(time.perf_counter() - t0)
-            assert out["ok"], "serving returned ok=False"
+            assert ok, "serving returned ok=False"
         return mine
 
     t0 = time.perf_counter()
@@ -138,6 +167,11 @@ def main():
     ap.add_argument("--clients", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--reqs", type=int, default=12)
     ap.add_argument("--window-ms", type=float, default=5.0)
+    ap.add_argument("--scene", type=int, default=0, metavar="K",
+                    help="bench POST /scene with K objects per frame "
+                         "instead of /grasps (scene requests don't "
+                         "coalesce — each is already one batched "
+                         "program; only the serialized mode runs)")
     ap.add_argument("--out", default="runs/serve_bench.json")
     args = ap.parse_args()
 
@@ -153,25 +187,37 @@ def main():
 
     pipe = build_pipeline(args.family, args.n_samples)
     rng = np.random.default_rng(0)
-    cloud = make_client_cloud(rng)
+    cloud = (make_scene_cloud(rng, args.scene) if args.scene
+             else make_client_cloud(rng))
 
     report = {"family": args.family, "n_samples": args.n_samples,
               "reqs_per_client": args.reqs,
               "window_ms": args.window_ms,
+              "scene_objects": args.scene,
               "device": str(jax.devices()[0].device_kind),
               "modes": []}
 
-    for max_batch_mode in ("serialized", "coalesced"):
+    # scene requests don't coalesce (each is already one batched program)
+    modes = (("serialized",) if args.scene
+             else ("serialized", "coalesced"))
+    for max_batch_mode in modes:
         for clients in args.clients:
             max_batch = 1 if max_batch_mode == "serialized" else clients
             with GraspServer(pipe, pad_n=8192, voxel=0.004,
                              max_batch=max_batch,
-                             batch_window_ms=args.window_ms) as srv:
+                             batch_window_ms=args.window_ms,
+                             scene_max_objects=max(1, args.scene)) as srv:
                 # warm every bucket shape this run will hit
                 from dexgangrasp_tpu.apps.serve import GraspServiceClient
 
                 warm = GraspServiceClient(srv.endpoint, timeout_s=600.0)
-                warm(cloud, seed=0)
+                if args.scene:
+                    outs = warm.scene(cloud, seed=0,
+                                      max_objects=args.scene)
+                    n_found = sum(1 for o in outs if o["ok"])
+                    report["objects_found"] = n_found
+                else:
+                    warm(cloud, seed=0)
                 if max_batch > 1:
                     b = 2
                     while b <= max_batch:
@@ -180,12 +226,16 @@ def main():
                                               seeds=list(range(b)))
                         b *= 2
                 rps, lat = run_load(srv.endpoint, cloud, clients,
-                                    args.reqs)
+                                    args.reqs, scene_k=args.scene)
             row = {"mode": max_batch_mode, "clients": clients,
                    "max_batch": max_batch,
                    "req_per_s": round(rps, 2),
                    "p50_ms": round(lat[len(lat) // 2] * 1e3, 1),
                    "p95_ms": round(lat[int(len(lat) * 0.95) - 1] * 1e3, 1)}
+            if args.scene:
+                row["scene_objects"] = args.scene
+                row["objects_per_s"] = round(
+                    rps * report.get("objects_found", 0), 2)
             report["modes"].append(row)
             print(json.dumps(row), flush=True)
 

@@ -757,6 +757,42 @@ def test_step_fused_multi_two_objects(engine):
                                    atol=1e-4)
 
 
+def test_run_fused_multi_overlap(engine):
+    """Pipelined whole-scene serving (run_fused_multi): one per-object
+    result list per frame, in order, identical to the serial
+    step_fused_multi path (same seeds), at depth 1 and 2."""
+    local = np.random.default_rng(5)
+    xs, ys = np.meshgrid(np.linspace(-0.4, 0.4, 80),
+                         np.linspace(-0.3, 0.3, 60))
+    frame = np.stack([xs, ys, np.full((60, 80), 0.8)], axis=-1)
+    frame[10:25, 10:25, 2] -= 0.08 + 0.005 * local.random((15, 15))
+    frame[35:50, 50:70, 2] -= 0.09 + 0.005 * local.random((15, 20))
+    cloud = frame.astype(np.float32)
+
+    pipe = RealtimePipeline(engine, _realtime_cfg(n_samples=32,
+                                                  num_grasps=3))
+    kw = dict(pad_n=8192, voxel=0.004, max_objects=3,
+              min_cluster_points=25)
+    serial = [pipe.step_fused_multi(cloud=cloud, seed=s, **kw)
+              for s in range(3)]
+    for depth in (1, 2):
+        overlapped = list(pipe.run_fused_multi([cloud] * 3, depth=depth,
+                                               **kw))
+        assert len(overlapped) == 3
+        for a_objs, b_objs in zip(serial, overlapped):
+            assert len(a_objs) == len(b_objs) == 3
+            for a, b in zip(a_objs, b_objs):
+                assert a["ok"] == b["ok"]
+                if not a["ok"]:
+                    continue
+                np.testing.assert_allclose(a["filtered"]["transl"],
+                                           b["filtered"]["transl"],
+                                           atol=1e-6)
+                np.testing.assert_allclose(a["pc_center"], b["pc_center"],
+                                           atol=1e-6)
+                assert len(b["goals"]) == 3
+
+
 def test_grasp_service_scene_endpoint(engine):
     """POST /scene: one frame with two blobs → per-object grasp sets over
     the wire; /grasps and /stats still serve alongside."""
