@@ -438,8 +438,16 @@ def main():
             float(np.asarray(chain(jax.random.PRNGKey(1))))
             return round((time.perf_counter() - t0) * 100.0, 3)
 
-        extras["set_n16_ms"] = set_bench(0)
-        extras["set_frontier_n16_ms"] = set_bench(10)
+        # independent try per variant: a frontier-only failure must not
+        # overwrite a good set_n16_ms measurement (advisor r4)
+        try:
+            extras["set_n16_ms"] = set_bench(0)
+        except Exception as e:
+            extras["set_n16_ms"] = f"error: {e}"
+        try:
+            extras["set_frontier_n16_ms"] = set_bench(10)
+        except Exception as e:
+            extras["set_frontier_n16_ms"] = f"error: {e}"
     except Exception as e:
         extras["set_n16_ms"] = f"error: {e}"
 

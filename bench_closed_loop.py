@@ -156,14 +156,20 @@ def main():
 
         frame = make_frame(rng, n_objects=args.multi)
         kw = dict(pad_n=pad_n, voxel=voxel, max_objects=args.multi)
-        outs = pipe.step_fused_multi(cloud=frame, seed=0, **kw)  # compile
-        n_ok = sum(1 for o in outs if o["ok"])
-        n_clipped = sum(1 for o in outs if o.get("clipped"))
+        pipe.step_fused_multi(cloud=frame, seed=0, **kw)  # compile
 
+        # objects_found/clipped are counted from the TIMED iterations, not
+        # the warmup frame: segmentation RANSAC is seed-dependent, and the
+        # timed loops run seeds 1..iters (advisor r4).
+        ok_counts, clip_counts = [], []
         t0 = time.perf_counter()
         for i in range(args.iters):
-            pipe.step_fused_multi(cloud=frame, seed=i + 1, **kw)
+            outs = pipe.step_fused_multi(cloud=frame, seed=i + 1, **kw)
+            ok_counts.append(sum(1 for o in outs if o["ok"]))
+            clip_counts.append(sum(1 for o in outs if o.get("clipped")))
         dt_serial = (time.perf_counter() - t0) / args.iters
+        n_ok, n_ok_min = max(ok_counts), min(ok_counts)
+        n_clipped = max(clip_counts)
 
         t_capture = []
 
@@ -173,11 +179,13 @@ def main():
                 yield frame
 
         lat = []
+        pipe_ok_counts = []
         t0 = time.perf_counter()
         for res in pipe.run_fused_multi(frame_source(), pad_n=pad_n,
                                         voxel=voxel, depth=args.depth,
                                         max_objects=args.multi):
             lat.append(time.perf_counter() - t_capture[len(lat)])
+            pipe_ok_counts.append(sum(1 for o in res if o["ok"]))
         n_done = len(lat)
         dt_overlap = (time.perf_counter() - t0) / n_done
         lat_sorted = sorted(lat)
@@ -190,6 +198,9 @@ def main():
                   "unit": "frames/s", "vs_baseline": round(fps / 15, 3),
                   "family": args.family, "n_objects": args.multi,
                   "objects_found": n_ok,
+                  "objects_found_min": n_ok_min,
+                  "objects_found_pipelined": (min(pipe_ok_counts),
+                                              max(pipe_ok_counts)),
                   "objects_clipped": n_clipped,
                   "object_rate_per_s": round(fps * n_ok, 2),
                   "serial_fps": round(1 / dt_serial, 2),

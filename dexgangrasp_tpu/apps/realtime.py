@@ -294,9 +294,15 @@ class RealtimePipeline:
         return jax.device_get(
             (g.to_dict(numpy=False), centers, n_objs, clippeds))
 
-    def _assemble_result_batch(self, materialized) -> list:
+    def _assemble_result_batch(self, materialized,
+                               publish: bool = True) -> list:
         """Build goals + publish from materialized batch/scene outputs
-        (one result dict per batch slot / scene object)."""
+        (one result dict per batch slot / scene object).
+
+        ``publish=False`` for daemon-served assembly: GraspServer calls
+        this OUTSIDE its device permit on concurrent handler threads, so
+        publishing there would interleave goals from different requests
+        on the robot topic (advisor r4)."""
         filtered, centers, n_objs, clippeds = materialized
         out = []
         for b in range(centers.shape[0]):
@@ -315,7 +321,7 @@ class RealtimePipeline:
                 goals[str(j)] = grasp_to_flange_goals(
                     fb["transl"][j], fb["rot_matrix"][j], centers[b],
                     self.cfg.base_T_cam, self.cfg.flange_T_palm)
-            if self.publisher is not None:
+            if publish and self.publisher is not None:
                 self.publisher.publish(goals)
             out.append({"goals": goals, "filtered": fb,
                         "pc_center": centers[b], "n_obj": n_obj,
@@ -341,7 +347,8 @@ class RealtimePipeline:
                          pad_n: int = 16384, voxel: float = 0.004,
                          seed: int = 0, max_objects: int = 4,
                          cluster_radius: float = 0.02,
-                         min_cluster_points: int = 30) -> list:
+                         min_cluster_points: int = 30,
+                         tabletop_prior: float = 0.25) -> list:
         """Whole-SCENE closed-loop iteration: one fused device program
         segments up to ``max_objects`` objects (plane removal → Euclidean
         clustering → per-object BPS) and returns a top-k grasp set per
@@ -356,12 +363,14 @@ class RealtimePipeline:
         return self._finalize_frame_batch(self._launch_frame_multi(
             padded, n_valid, seed, max_objects=max_objects,
             cluster_radius=cluster_radius,
-            min_cluster_points=min_cluster_points))
+            min_cluster_points=min_cluster_points,
+            tabletop_prior=tabletop_prior))
 
     def _launch_frame_multi(self, padded: np.ndarray, n_valid: int,
                             seed: int, max_objects: int = 4,
                             cluster_radius: float = 0.02,
-                            min_cluster_points: int = 30):
+                            min_cluster_points: int = 30,
+                            tabletop_prior: float = 0.25):
         """Dispatch the whole-scene program (no materialization — the
         serving daemon holds its device permit only around launch +
         finalize, prepping outside it)."""
@@ -384,6 +393,7 @@ class RealtimePipeline:
                       max_objects=max_objects,
                       cluster_radius=cluster_radius,
                       min_cluster_points=min_cluster_points,
+                      tabletop_prior=tabletop_prior,
                       refine_steps=getattr(self.engine, "refine_steps", 0),
                       **extra)
         if self._is_set_engine():  # set-prediction family
@@ -464,7 +474,8 @@ class RealtimePipeline:
                         on_result: Optional[Callable[[list], None]] = None,
                         depth: int = 2, max_objects: int = 4,
                         cluster_radius: float = 0.02,
-                        min_cluster_points: int = 30):
+                        min_cluster_points: int = 30,
+                        tabletop_prior: float = 0.25):
         """Sustained whole-SCENE closed-loop serving: ``run_fused``'s
         dispatch pipelining applied to the multi-object program — frame
         N+1's host prep overlaps frame N's device execution, and
@@ -484,7 +495,8 @@ class RealtimePipeline:
             return self._materialize_frame_batch(self._launch_frame_multi(
                 padded, n_valid, seed, max_objects=max_objects,
                 cluster_radius=cluster_radius,
-                min_cluster_points=min_cluster_points))
+                min_cluster_points=min_cluster_points,
+                tabletop_prior=tabletop_prior))
 
         def emit(fut):
             out = self._assemble_result_batch(fut.result())

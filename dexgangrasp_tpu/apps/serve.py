@@ -91,7 +91,8 @@ class GraspServer:
                  pad_n: int = 16384, voxel: float = 0.006,
                  max_batch: int = 1, batch_window_ms: float = 2.0,
                  engine_factory=None, max_inflight: int = 2,
-                 scene_max_objects: int = 4):
+                 scene_max_objects: int = 4,
+                 scene_tabletop_prior: float = 0.25):
         self.pipeline = pipeline
         self.pad_n = pad_n
         self.voxel = voxel
@@ -100,6 +101,11 @@ class GraspServer:
         # the device-permit region — minutes through the relay on a cold
         # shape).  Client requests for fewer objects trim the response.
         self.scene_max_objects = int(scene_max_objects)
+        # same one-program-shape rule: the tabletop prior is a jit static
+        # arg of the multi program, so it is a SERVER deployment knob
+        # (0 disables the deepest-plane rule, e.g. for scenes where a
+        # floor is visible beyond the table edge), not a request field
+        self.scene_tabletop_prior = float(scene_tabletop_prior)
         # hot reload: factory(gen_path, eva_path) -> engine; the daemon
         # swaps pipeline.engine in place (POST /reload) — same program
         # shapes, so no recompile, and in-flight frames finish on the
@@ -321,8 +327,9 @@ class GraspServer:
             mat = self.pipeline._materialize_frame_batch(
                 self.pipeline._launch_frame_multi(
                     padded, n_valid, seed,
-                    max_objects=self.scene_max_objects))
-        results = self.pipeline._assemble_result_batch(mat)
+                    max_objects=self.scene_max_objects,
+                    tabletop_prior=self.scene_tabletop_prior))
+        results = self.pipeline._assemble_result_batch(mat, publish=False)
         results = results[:max(1, k_req)]
         with self._stats_lock:
             self._n_requests += 1
@@ -404,7 +411,8 @@ class GraspServer:
                 mat = self.pipeline._materialize_frame_batch(
                     self.pipeline._launch_frame_batch(padded, n_valid,
                                                       seeds))
-            results = self.pipeline._assemble_result_batch(mat)
+            results = self.pipeline._assemble_result_batch(mat,
+                                                           publish=False)
             for (_, _, _, fut), res in zip(batch, results):
                 fut.set_result(res)
         except Exception as e:

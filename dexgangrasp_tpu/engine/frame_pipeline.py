@@ -465,7 +465,8 @@ def _segment_multi_encode(basis, points, n_valid, k_seg, max_objects,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_samples", "top_k", "max_objects", "min_cluster_points",
-    "ransac_iters", "knn_k", "outlier_method", "refine_steps"))
+    "ransac_iters", "knn_k", "outlier_method", "refine_steps",
+    "tabletop_prior"))
 def frame_to_grasps_multi(gen_folded: dict, eva_folded: dict,
                           basis: jax.Array, points: jax.Array,
                           n_valid: jax.Array, key: jax.Array,
@@ -480,7 +481,8 @@ def frame_to_grasps_multi(gen_folded: dict, eva_folded: dict,
                           outlier_method: str = "radius",
                           outlier_radius: float = 0.012,
                           outlier_min_neighbors: int = 6,
-                          refine_steps: int = 0
+                          refine_steps: int = 0,
+                          tabletop_prior: float = 0.25
                           ) -> Tuple[Grasps, jax.Array, jax.Array,
                                      jax.Array]:
     """Whole-scene GAN/VAE serving: padded (N, 3) cloud → top-k grasps for
@@ -505,7 +507,8 @@ def frame_to_grasps_multi(gen_folded: dict, eva_folded: dict,
         std_ratio=std_ratio, plane_thresh=plane_thresh,
         ransac_iters=ransac_iters, outlier_method=outlier_method,
         outlier_radius=outlier_radius,
-        outlier_min_neighbors=outlier_min_neighbors)
+        outlier_min_neighbors=outlier_min_neighbors,
+        tabletop_prior=tabletop_prior)
     if refine_steps:
         keys = jax.random.split(k_z, bps_b.shape[0])
 
@@ -525,7 +528,7 @@ def frame_to_grasps_multi(gen_folded: dict, eva_folded: dict,
 @functools.partial(jax.jit, static_argnames=(
     "model", "n_samples", "top_k", "steps", "guidance_scale",
     "max_objects", "min_cluster_points", "ransac_iters", "knn_k",
-    "outlier_method", "refine_steps", "student"))
+    "outlier_method", "refine_steps", "student", "tabletop_prior"))
 def frame_to_grasps_multi_diffusion(model, diff_params: dict,
                                     eva_folded: dict, normalizer,
                                     basis: jax.Array, points: jax.Array,
@@ -544,7 +547,8 @@ def frame_to_grasps_multi_diffusion(model, diff_params: dict,
                                     outlier_radius: float = 0.012,
                                     outlier_min_neighbors: int = 6,
                                     refine_steps: int = 0,
-                                    student: bool = False
+                                    student: bool = False,
+                                    tabletop_prior: float = 0.25
                                     ) -> Tuple[Grasps, jax.Array,
                                                jax.Array, jax.Array]:
     """Whole-scene serving with the diffusion family (incl. the guided
@@ -566,7 +570,8 @@ def frame_to_grasps_multi_diffusion(model, diff_params: dict,
         std_ratio=std_ratio, plane_thresh=plane_thresh,
         ransac_iters=ransac_iters, outlier_method=outlier_method,
         outlier_radius=outlier_radius,
-        outlier_min_neighbors=outlier_min_neighbors)
+        outlier_min_neighbors=outlier_min_neighbors,
+        tabletop_prior=tabletop_prior)
     if refine_steps:
         keys = jax.random.split(k_z, bps_b.shape[0])
 
@@ -675,7 +680,8 @@ def frames_to_grasps_set_batch(model, set_params: dict, eva_folded: dict,
 
 @functools.partial(jax.jit, static_argnames=(
     "model", "top_k", "max_objects", "min_cluster_points",
-    "ransac_iters", "knn_k", "outlier_method", "refine_steps"))
+    "ransac_iters", "knn_k", "outlier_method", "refine_steps",
+    "tabletop_prior"))
 def frame_to_grasps_multi_set(model, set_params: dict, eva_folded: dict,
                               normalizer, basis: jax.Array,
                               points: jax.Array, n_valid: jax.Array,
@@ -690,7 +696,8 @@ def frame_to_grasps_multi_set(model, set_params: dict, eva_folded: dict,
                               outlier_method: str = "radius",
                               outlier_radius: float = 0.012,
                               outlier_min_neighbors: int = 6,
-                              refine_steps: int = 0
+                              refine_steps: int = 0,
+                              tabletop_prior: float = 0.25
                               ) -> Tuple[Grasps, jax.Array, jax.Array,
                                          jax.Array]:
     """Whole-scene serving with the set-prediction family: the multi-
@@ -706,7 +713,8 @@ def frame_to_grasps_multi_set(model, set_params: dict, eva_folded: dict,
         std_ratio=std_ratio, plane_thresh=plane_thresh,
         ransac_iters=ransac_iters, outlier_method=outlier_method,
         outlier_radius=outlier_radius,
-        outlier_min_neighbors=outlier_min_neighbors)
+        outlier_min_neighbors=outlier_min_neighbors,
+        tabletop_prior=tabletop_prior)
 
     def per_object(bps):
         return predict_refine_topk_set(model, set_params, eva_folded,

@@ -72,13 +72,20 @@ def render_single(g: Dict[Tuple[str, int], List[dict]]) -> str:
            "|---|---|---|---|---|---|---|---|"]
     for (fam, depth) in sorted(g, key=lambda k: (_fam_key(k[0]), k[1])):
         rs = g[(fam, depth)]
+
+        # pre-round-4 rows lack serial_fps/latency/host_prep_ms — degrade
+        # to "–" instead of crashing on old jsonl files (advisor r4)
+        def col(key, fmt=_spread):
+            vals = [r[key] for r in rs if key in r]
+            return fmt(vals) if vals else "–"
+
         out.append(
             f"| {fam} | {depth} | {len(rs)} "
             f"| {_spread([r['value'] for r in rs])} "
-            f"| {_spread([r['serial_fps'] for r in rs])} "
-            f"| {_spread([r['latency_p50_ms'] for r in rs])} "
-            f"| {_spread([r['latency_p95_ms'] for r in rs])} "
-            f"| {_med([r['host_prep_ms'] for r in rs]):.1f} |")
+            f"| {col('serial_fps')} "
+            f"| {col('latency_p50_ms')} "
+            f"| {col('latency_p95_ms')} "
+            f"| {col('host_prep_ms', lambda v: f'{_med(v):.1f}')} |")
     return "\n".join(out)
 
 
@@ -90,10 +97,15 @@ def render_multi(g: Dict[Tuple[str, int], List[dict]]) -> str:
            "|---|---|---|---|---|---|"]
     for (fam, k) in sorted(g, key=lambda kk: (_fam_key(kk[0]), kk[1])):
         rs = g[(fam, k)]
+        # aggregate across passes (min–max), not just the first row
+        found = [r.get("objects_found") for r in rs
+                 if r.get("objects_found") is not None]
+        fmin, fmax = (min(found), max(found)) if found else ("?", "?")
+        found_s = (f"{fmin}/{k}" if fmin == fmax else f"{fmin}–{fmax}/{k}")
         out.append(
             f"| {fam} | {k} | {len(rs)} "
             f"| {_spread([r['value'] for r in rs])} "
-            f"| {rs[0]['objects_found']}/{k} "
+            f"| {found_s} "
             f"| {_spread([r['object_rate_per_s'] for r in rs])} |")
     return "\n".join(out)
 
@@ -109,11 +121,14 @@ def depth_tradeoff(g: Dict[Tuple[str, int], List[dict]]) -> str:
         if not d1 or not d2:
             continue
         r = _med([x["value"] for x in d2]) / _med([x["value"] for x in d1])
-        dl50 = (_med([x["latency_p50_ms"] for x in d2])
-                - _med([x["latency_p50_ms"] for x in d1]))
-        dl95 = (_med([x["latency_p95_ms"] for x in d2])
-                - _med([x["latency_p95_ms"] for x in d1]))
-        out.append(f"| {fam} | {r:.2f}× | {dl50:+.1f} | {dl95:+.1f} |")
+
+        def dlat(key):
+            a = [x[key] for x in d2 if key in x]
+            b = [x[key] for x in d1 if key in x]
+            return f"{_med(a) - _med(b):+.1f}" if a and b else "–"
+
+        out.append(f"| {fam} | {r:.2f}× | {dlat('latency_p50_ms')} "
+                   f"| {dlat('latency_p95_ms')} |")
     return "\n".join(out)
 
 

@@ -134,6 +134,24 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip)
 
 
+# ------------------------------------------------------------ suite hygiene
+#
+# 257 tests of compiled programs on a 1-CPU host accumulate enough XLA:CPU
+# compiler/executable state that the round-4 full-suite runs segfaulted
+# inside compilation at ~82% (reproducible, twice).  Dropping the jit caches
+# between modules keeps the live-executable footprint bounded; each module
+# recompiles its own programs anyway, so the only cost is losing rare
+# cross-module cache hits.
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_compiler_state():
+    yield
+    import gc
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def basis():
     """The reference BPS basis (4096×3 float32)."""

@@ -10,10 +10,15 @@ from dexgangrasp_tpu.engine.frame_pipeline import frame_to_grasps
 from dexgangrasp_tpu.models.networks import init_dexgan, init_evaluator
 from dexgangrasp_tpu.ops.bps import generate_basis, pad_cloud
 
-rng = np.random.default_rng(101)
+# NOTE: every scene builder takes a FRESH rng.  A module-level shared rng
+# makes each test's scene depend on how many tests ran before it (the
+# round-4 order-dependent failure: the student-branch test drew a cloud the
+# radius outlier filter wiped to 0 points when the whole file ran, but not
+# in isolation).
 
 
 def test_frame_to_grasps_end_to_end():
+    rng = np.random.default_rng(101)
     (_, gp, gs), _ = init_dexgan(jax.random.PRNGKey(0))
     _, ep, es = init_evaluator(jax.random.PRNGKey(1))
     gf = folding.fold_generator(gp, gs)
@@ -51,6 +56,7 @@ def test_frame_to_grasps_end_to_end():
 
 
 def _toy_scene():
+    rng = np.random.default_rng(101)
     plane = np.concatenate(
         [rng.uniform(-0.3, 0.3, (1200, 2)),
          0.5 + rng.normal(size=(1200, 1)) * 0.002], axis=1)
@@ -109,6 +115,7 @@ def test_clipped_flag_reports_buffer_truncation():
     normal frame (small object on a dominant plane) must report False."""
     from dexgangrasp_tpu.engine.frame_pipeline import _segment_center_encode
 
+    rng = np.random.default_rng(101)
     basis = generate_basis(jax.random.PRNGKey(2), 4096, 0.2)
     pad_n = 2048  # quarter-cap = max(1024, 512) = 1024
     key = jax.random.PRNGKey(4)
@@ -330,12 +337,16 @@ def test_frame_to_grasps_diffusion_student_branch():
         jnp.asarray(n_valid), jax.random.PRNGKey(3), **common)
     assert np.max(np.abs(np.asarray(gd.transl) - np.asarray(g.transl))) > 0
 
-    # whole-scene path with the student tail (+ fused refine)
+    # whole-scene path with the student tail (+ fused refine).  statistical
+    # outlier mode like every other call on this synthetic cloud: the radius
+    # defaults (tuned for 4 mm camera decimation) keep only ~40-60 of the
+    # 400 object points here and wipe the cloud entirely for some draws —
+    # the round-4 order-dependent `n_objs[0] == 0` failure.
     gm, centers, n_objs, _ = frame_to_grasps_multi_diffusion(
         model, dparams, ef, None, basis, jnp.asarray(padded),
         jnp.asarray(n_valid), jax.random.PRNGKey(4), n_samples=32,
         top_k=4, max_objects=2, ransac_iters=256, student=True,
-        refine_steps=2)
+        refine_steps=2, outlier_method="statistical")
     assert gm.transl.shape == (2, 4, 3)
     assert int(n_objs[0]) > 0
 
