@@ -451,6 +451,62 @@ def main():
     except Exception as e:
         extras["set_n16_ms"] = f"error: {e}"
 
+    # WHOLE-SCENE serving (VERDICT r4 #8): K=4 objects, one device program
+    # (frame_to_grasps_multi: RANSAC plane + cluster + 4× encode/sample/
+    # score/top-10).  Synthetic decimated tabletop scene at the closed-loop
+    # bench's scale (~6k valid of 8192 padded); statistical outlier mode —
+    # the robust setting for synthetic point densities (the radius filter's
+    # defaults assume real camera frames, see tests/test_frame_pipeline).
+    try:
+        from dexgangrasp_tpu.engine.frame_pipeline import (
+            frame_to_grasps_multi,
+        )
+
+        srng = np.random.default_rng(3)
+        table = np.stack([srng.uniform(-0.20, 0.20, 3200),
+                          srng.uniform(-0.17, 0.17, 3200),
+                          np.full(3200, 0.90)], axis=1)
+        blobs = []
+        for cx, cy in ((-0.10, -0.08), (0.10, -0.08),
+                       (-0.10, 0.08), (0.10, 0.08)):
+            b = srng.normal(size=(700, 3)) * [0.02, 0.02, 0.03]
+            b[:, 2] = np.clip(b[:, 2], -0.04, 0.04)
+            blobs.append(b + [cx, cy, 0.84])
+        scene = np.concatenate([table] + blobs).astype(np.float32)
+        scene += srng.normal(size=scene.shape).astype(np.float32) * 5e-4
+        scene_pts = jnp.asarray(pad_cloud(scene, CLOUD_PAD))
+        scene_nv = jnp.int32(scene.shape[0])
+
+        def scene_call(key, pts):
+            return frame_to_grasps_multi(
+                gen_folded, eva_folded, basis, pts, scene_nv, key,
+                n_samples=1000, top_k=10, max_objects=4,
+                outlier_method="statistical")
+
+        g0, _, n_objs0, _ = scene_call(jax.random.PRNGKey(21), scene_pts)
+        found = int((np.asarray(n_objs0) > 0).sum())
+        extras["scene_k4_objects"] = found
+
+        @jax.jit
+        def scene_chain(key):
+            def body(i, carry):
+                key, acc = carry
+                key, k = jax.random.split(key)
+                g, _, n_objs, _ = scene_call(k, scene_pts + acc * 1e-12)
+                return (key, acc + g.score[0, 0] + g.transl[0, 0].sum()
+                        + n_objs.sum().astype(jnp.float32))
+            return jax.lax.fori_loop(0, 10, body, (key, 0.0))[1]
+
+        float(np.asarray(scene_chain(jax.random.PRNGKey(0))))
+        t0 = time.perf_counter()
+        float(np.asarray(scene_chain(jax.random.PRNGKey(1))))
+        scene_ms = (time.perf_counter() - t0) * 100.0
+        extras["scene_k4_ms"] = round(scene_ms, 3)
+        extras["scene_objects_per_sec"] = round(found * 1000.0 / scene_ms,
+                                                2)
+    except Exception as e:
+        extras["scene_k4_ms"] = f"error: {e}"
+
     print(json.dumps({
         "metric": "grasps_per_sec",
         "value": round(best, 1),

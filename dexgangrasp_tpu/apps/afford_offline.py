@@ -60,7 +60,8 @@ def load_frame(save_path: str, index: str) -> Dict:
 
 def run_afford_offline(engine, save_path: str, index: str,
                        n_samples: int = 400, top_k: int = 30,
-                       intrinsics: Dict = DEFAULT_INTRINSICS) -> Dict:
+                       intrinsics: Dict = DEFAULT_INTRINSICS,
+                       seed: int = None) -> Dict:
     """Full offline affordance pipeline for one frame; returns the final
     evaluator-sorted grasp dict (camera-centroid frame) plus part info."""
     frame = load_frame(save_path, index)
@@ -77,7 +78,7 @@ def run_afford_offline(engine, save_path: str, index: str,
 
     centered = obj_points - pc_center
     bps = engine.encode_pcd(centered)
-    grasps = engine.generate_grasps(np.asarray(bps), n_samples)
+    grasps = engine.generate_grasps(np.asarray(bps), n_samples, seed=seed)
 
     ranked_idx, part_centroid = filter_grasps_given_mask_offline(
         grasps, part_points, pc_center)
