@@ -133,6 +133,24 @@ def generator_apply_folded(folded: dict, ctx: dict, z: jax.Array):
     return rot6, transl, joints
 
 
+def cast_folded(folded: dict, dtype) -> dict:
+    """Cast every float leaf of a folded layout (weights/biases/contexts)
+    to ``dtype`` — the bf16 serving mode.  At serving batch sizes the
+    folded 512-wide chain is HBM-bandwidth-bound in f32 (each
+    (N,512)@(512,512) step streams ~2 B/FLOP more than the v5e's
+    ~240 FLOP/byte balance point); bf16 halves the traffic.  MXU
+    accumulation stays f32 (hardware); precision-sensitive tails (rot6d
+    Gram-Schmidt, top-k ordering) are the caller's job to keep in f32."""
+    import jax.numpy as jnp
+
+    def cast(x):
+        x = jnp.asarray(x)
+        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) \
+            else x
+
+    return jax.tree.map(cast, folded)
+
+
 # ------------------------------------------------------- evaluator / critic
 
 

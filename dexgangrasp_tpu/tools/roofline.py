@@ -57,7 +57,7 @@ def matmul_flops_per_grasp(gen_folded: dict, eva_folded: dict) -> dict:
 
 
 def run(n: int = 16384, iters: int = 50, top_k: int = 1024,
-        out_path: str = "runs/roofline.json"):
+        out_path: str = "runs/roofline.json", bf16: bool = False):
     import numpy as np
 
     import jax
@@ -78,57 +78,69 @@ def run(n: int = 16384, iters: int = 50, top_k: int = 1024,
     _, ep, es = init_evaluator(jax.random.PRNGKey(1))
     gen_folded = folding.fold_generator(gp, gs)
     eva_folded = folding.fold_evaluator(ep, es)
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    if bf16:  # bf16 serving mode (VERDICT r4 #4): halve the HBM traffic
+        gen_folded = folding.cast_folded(gen_folded, dt)
+        eva_folded = folding.cast_folded(eva_folded, dt)
     rng = np.random.default_rng(0)
-    bps = jnp.asarray(rng.uniform(0, 0.2, 4096).astype(np.float32))
+    bps = jnp.asarray(rng.uniform(0, 0.2, 4096).astype(np.float32)).astype(dt)
     gctx = folding.generator_object_context(gen_folded, bps)
     ectx = folding.evaluator_object_context(eva_folded, bps)
-    fixed_z = jax.random.normal(jax.random.PRNGKey(9), (n, 5), jnp.float32)
+    fixed_z = jax.random.normal(jax.random.PRNGKey(9), (n, 5),
+                                jnp.float32).astype(dt)
     fixed_pose = jnp.asarray(
-        rng.normal(size=(n, 12)).astype(np.float32) * 0.1)
+        rng.normal(size=(n, 12)).astype(np.float32) * 0.1).astype(dt)
 
     def gen_tail(z):
         rot6, transl, joints = folding.generator_apply_folded(
             gen_folded, gctx, z)
-        rot = rot_matrix_from_ortho6d(rot6)
-        transl = translate_along_axis(transl, rot, 0, 0.025)
+        # f32 island: Gram-Schmidt + palm back-off
+        rot = rot_matrix_from_ortho6d(rot6.astype(jnp.float32))
+        transl = translate_along_axis(transl.astype(jnp.float32), rot,
+                                      0, 0.025)
         return rot, transl, joints
+
+    def make_pose(rot, transl):
+        return jnp.concatenate([rot.reshape(n, 9), transl],
+                               axis=1).astype(dt)
+
+    def score_of(pose):
+        return folding.evaluator_apply_folded(eva_folded, ectx,
+                                              pose).astype(jnp.float32)
 
     def full_body(key, acc):
         key, k = jax.random.split(key)
-        z = jax.random.normal(k, (n, 5), jnp.float32)
+        z = jax.random.normal(k, (n, 5), jnp.float32).astype(dt)
         rot, transl, joints = gen_tail(z)
-        pose = jnp.concatenate([rot.reshape(n, 9), transl], axis=1)
-        score = folding.evaluator_apply_folded(eva_folded, ectx, pose)
+        score = score_of(make_pose(rot, transl))
         _, order = jax.lax.approx_max_k(score, top_k)
         return key, (acc + score[order[0]] + transl[order[0]].sum()
-                     + rot[order[0]].sum() + joints[order[0]].sum())
+                     + rot[order[0]].sum()
+                     + joints[order[0]].sum().astype(jnp.float32))
 
     def no_topk_body(key, acc):
         key, k = jax.random.split(key)
-        z = jax.random.normal(k, (n, 5), jnp.float32)
+        z = jax.random.normal(k, (n, 5), jnp.float32).astype(dt)
         rot, transl, joints = gen_tail(z)
-        pose = jnp.concatenate([rot.reshape(n, 9), transl], axis=1)
-        score = folding.evaluator_apply_folded(eva_folded, ectx, pose)
+        score = score_of(make_pose(rot, transl))
         return key, acc + score.sum() * 1e-6
 
     def fixed_z_body(key, acc):
-        z = fixed_z + acc * 1e-12
+        z = fixed_z + (acc * 1e-12).astype(dt)
         rot, transl, joints = gen_tail(z)
-        pose = jnp.concatenate([rot.reshape(n, 9), transl], axis=1)
-        score = folding.evaluator_apply_folded(eva_folded, ectx, pose)
+        score = score_of(make_pose(rot, transl))
         _, order = jax.lax.approx_max_k(score, top_k)
         return key, (acc + score[order[0]] + transl[order[0]].sum())
 
     def gen_only_body(key, acc):
         key, k = jax.random.split(key)
-        z = jax.random.normal(k, (n, 5), jnp.float32)
+        z = jax.random.normal(k, (n, 5), jnp.float32).astype(dt)
         rot, transl, joints = gen_tail(z)
         return key, (acc + rot.sum() * 1e-9 + transl.sum() * 1e-9
-                     + joints.sum() * 1e-9)
+                     + joints.sum().astype(jnp.float32) * 1e-9)
 
     def eva_only_body(key, acc):
-        score = folding.evaluator_apply_folded(
-            eva_folded, ectx, fixed_pose + acc * 1e-12)
+        score = score_of(fixed_pose + (acc * 1e-12).astype(dt))
         return key, acc + score.sum() * 1e-9
 
     def chain(body):
@@ -150,7 +162,7 @@ def run(n: int = 16384, iters: int = 50, top_k: int = 1024,
         return best / iters  # seconds per pipeline iteration
 
     flops = matmul_flops_per_grasp(gen_folded, eva_folded)
-    report = {"n": n, "iters": iters, "top_k": top_k,
+    report = {"n": n, "iters": iters, "top_k": top_k, "bf16": bf16,
               "device": str(jax.devices()[0].device_kind),
               "flops_per_grasp": flops}
 
@@ -196,9 +208,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=16384)
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 serving mode (folded weights + activations "
+                         "in bf16, f32 islands for rot6d/back-off/top-k)")
     ap.add_argument("--out", default="runs/roofline.json")
     args = ap.parse_args()
-    run(n=args.n, iters=args.iters, out_path=args.out)
+    run(n=args.n, iters=args.iters, out_path=args.out, bf16=args.bf16)
 
 
 if __name__ == "__main__":

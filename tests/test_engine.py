@@ -173,3 +173,36 @@ def test_engine_unfolded_consistency(nets, bps_row):
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(g.score),
                                np.asarray(p_ref[order, 0]), atol=2e-5)
+
+
+def test_bf16_serving_mode_numerics(nets, bps_row):
+    """cast_folded bf16 serving mode (VERDICT r4 #4 — HBM-bound f32 chain):
+    score error must stay far below a filter band (5e-3), transl within a
+    millimeter, with f32 islands for rot6d Gram-Schmidt + back-off."""
+    (gen, gp, gs), _, (eva, ep, es) = nets
+    gf = folding.fold_generator(gp, gs)
+    ef = folding.fold_evaluator(ep, es)
+    gb = folding.cast_folded(gf, jnp.bfloat16)
+    eb = folding.cast_folded(ef, jnp.bfloat16)
+    # only float leaves cast
+    assert all(jnp.asarray(l).dtype == jnp.bfloat16
+               for l in jax.tree.leaves(gb))
+
+    n = 256
+    z = jax.random.normal(jax.random.PRNGKey(5), (n, 5), jnp.float32)
+
+    def run(gfold, efold, dt):
+        bps = bps_row.astype(dt)
+        gctx = folding.generator_object_context(gfold, bps)
+        ectx = folding.evaluator_object_context(efold, bps)
+        r6, t, j = folding.generator_apply_folded(gfold, gctx, z.astype(dt))
+        rot = rot_matrix_from_ortho6d(r6.astype(jnp.float32))
+        t = translate_along_axis(t.astype(jnp.float32), rot, 0, 0.025)
+        pose = jnp.concatenate([rot.reshape(n, 9), t], axis=1).astype(dt)
+        s = folding.evaluator_apply_folded(efold, ectx, pose)
+        return t, s.astype(jnp.float32)
+
+    t32, s32 = run(gf, ef, jnp.float32)
+    t16, s16 = run(gb, eb, jnp.bfloat16)
+    assert float(jnp.mean(jnp.abs(s16 - s32))) < 5e-3
+    assert float(jnp.max(jnp.abs(t16 - t32))) < 1e-3
