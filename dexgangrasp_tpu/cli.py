@@ -192,7 +192,8 @@ import numpy as np
 
 
 def load_engine(gen_path, eva_path, basis_path=None, model: str = "gan",
-                guidance_scale: float = 0.0, refine_steps: int = 0):
+                guidance_scale: float = 0.0, refine_steps: int = 0,
+                bf16: bool = False):
     """Thin wrapper over the engine loaders (kept as the CLI's loading
     seam; apps import it by this name).  ``model``: 'gan'/'vae' checkpoints
     serve through GraspEngine (the VAE decoder is generator-shaped);
@@ -203,7 +204,10 @@ def load_engine(gen_path, eva_path, basis_path=None, model: str = "gan",
     SetEngine (the DGTR-style set-prediction transformer,
     train/set_transformer.py).
     ``guidance_scale`` > 0 (diffusion only) turns on evaluator-guided DDIM
-    (engine/diffusion_pipeline.sample_guided)."""
+    (engine/diffusion_pipeline.sample_guided).  ``bf16`` selects the bf16
+    serving mode (GraspEngine-served families only, i.e. gan/vae — the
+    HBM-bound folded chain runs with bf16 operands and f32 islands;
+    ignored for diffusion/student/set)."""
     if model in ("diffusion", "student"):
         from dexgangrasp_tpu.engine.diffusion_pipeline import DiffusionEngine
 
@@ -219,7 +223,8 @@ def load_engine(gen_path, eva_path, basis_path=None, model: str = "gan",
     from dexgangrasp_tpu.engine.pipeline import GraspEngine
 
     return GraspEngine.from_checkpoints(gen_path, eva_path, basis_path,
-                                        refine_steps=refine_steps)
+                                        refine_steps=refine_steps,
+                                        bf16=bf16)
 
 
 def load_vae_bench_engine(refine_steps: int = 0):

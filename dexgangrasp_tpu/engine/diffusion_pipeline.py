@@ -348,6 +348,9 @@ class DiffusionEngine:
         self.diff_params = diff_params
         self.normalizer = normalizer
         self.eva_folded = folding.fold_evaluator(eva_params, eva_state)
+        # f32 alias consumed by the shared _refine tail (GraspEngine
+        # keeps a separate f32 copy in bf16 serving mode)
+        self.eva_folded_f32 = self.eva_folded
         self.disc_folded = None
         self.encoder = BPSEncoder(basis=basis, cloud_pad=cloud_pad)
         self.z_offset = z_offset

@@ -61,13 +61,21 @@ def sample_and_score(gen_folded: dict, eva_folded: dict, bps: jax.Array,
     Returns a ``Grasps`` batch with ``score`` filled.
     """
     latent = gen_folded["rb1"]["w1_z"].shape[0]
+    # bf16 serving mode is selected by the FOLDED WEIGHTS' dtype
+    # (folding.cast_folded): the 512-wide chain is HBM-bound in f32 at
+    # serving batch; bf16 operands halve the traffic (+19% measured,
+    # BENCH r5).  f32 islands below: PRNG draw, rot6d Gram-Schmidt,
+    # palm back-off, returned Grasps (score error ≤ 1e-3 — gated in
+    # bench.py and tests/test_engine.py).
+    bf16 = gen_folded["rb1"]["w2"].dtype == jnp.bfloat16
     if sample_uniform:
-        z = 8.0 * jax.random.uniform(key, (n, latent), bps.dtype) - 4.0
+        z = 8.0 * jax.random.uniform(key, (n, latent), jnp.float32) - 4.0
     else:
-        z = jax.random.normal(key, (n, latent), bps.dtype)
+        z = jax.random.normal(key, (n, latent), jnp.float32)
 
-    gen_ctx = folding.generator_object_context(gen_folded, bps)
-    eva_ctx = folding.evaluator_object_context(eva_folded, bps)
+    cdt = jnp.bfloat16 if bf16 else bps.dtype
+    gen_ctx = folding.generator_object_context(gen_folded, bps.astype(cdt))
+    eva_ctx = folding.evaluator_object_context(eva_folded, bps.astype(cdt))
 
     if use_chain_kernel:
         from dexgangrasp_tpu.ops.grasp_chain import grasp_chain_pallas
@@ -78,13 +86,17 @@ def sample_and_score(gen_folded: dict, eva_folded: dict, bps: jax.Array,
             n_joints=n_joints)
     else:
         rot6, transl, joints = folding.generator_apply_folded(
-            gen_folded, gen_ctx, z)
-        rot = rot_matrix_from_ortho6d(rot6)
-        transl = translate_along_axis(transl, rot, 0, z_offset)
+            gen_folded, gen_ctx, z.astype(cdt))
+        rot = rot_matrix_from_ortho6d(rot6.astype(jnp.float32))
+        transl = translate_along_axis(transl.astype(jnp.float32), rot,
+                                      0, z_offset)
 
         # row-major flatten matches the reference's rot_matrix.view(N, -1)
-        pose = jnp.concatenate([rot.reshape(n, 9), transl], axis=1)
-        score = folding.evaluator_apply_folded(eva_folded, eva_ctx, pose)
+        pose = jnp.concatenate([rot.reshape(n, 9), transl],
+                               axis=1).astype(cdt)
+        score = folding.evaluator_apply_folded(
+            eva_folded, eva_ctx, pose).astype(jnp.float32)
+        joints = joints.astype(jnp.float32)
 
     g = Grasps(transl=transl, rot_matrix=rot, joint_conf=joints,
                score=score, z=z)
@@ -275,9 +287,24 @@ class GraspEngine:
                  disc_params=None, disc_state=None,
                  basis: Optional[np.ndarray] = None,
                  z_offset: float = DEFAULT_Z_OFFSET,
-                 cloud_pad: int = 8192, refine_steps: int = 0):
+                 cloud_pad: int = 8192, refine_steps: int = 0,
+                 bf16: bool = False):
         self.gen_folded = folding.fold_generator(gen_params, gen_state)
         self.eva_folded = folding.fold_evaluator(eva_params, eva_state)
+        if bf16:
+            # bf16 serving mode: the sample/score path reads the folded
+            # dtype and inserts its f32 islands (sample_and_score above);
+            # the refine tail and the Pallas chain kernel keep f32
+            # semantics, so filter/refine consumers fold/score in f32 via
+            # eva_folded_f32.
+            self.eva_folded_f32 = self.eva_folded
+            self.gen_folded = folding.cast_folded(self.gen_folded,
+                                                  jnp.bfloat16)
+            self.eva_folded = folding.cast_folded(self.eva_folded,
+                                                  jnp.bfloat16)
+        else:
+            self.eva_folded_f32 = self.eva_folded
+        self.bf16 = bf16
         self.disc_folded = (
             folding.fold_discriminator(disc_params, disc_state)
             if disc_params is not None else None)
@@ -391,14 +418,17 @@ class GraspEngine:
         )
         from dexgangrasp_tpu.engine.refine import refine_grasps_gradient
 
+        # gradient ascent stays f32 even in bf16 serving mode (the VJP
+        # walks the evaluator's landscape; bf16 gradients are too coarse)
         rot, transl, joints, _ = refine_grasps_gradient(
-            self.eva_folded, bps, g.rot_matrix, g.transl, g.joint_conf,
+            self.eva_folded_f32, bps, g.rot_matrix, g.transl, g.joint_conf,
             num_steps=self.refine_steps)
         rot = rot_matrix_from_ortho6d(ortho6d_from_rot_matrix(rot))
         pose = jnp.concatenate([rot.reshape(rot.shape[0], 9), transl],
                                axis=1)
-        ctx = folding.evaluator_object_context(self.eva_folded, bps)
-        score = folding.evaluator_apply_folded(self.eva_folded, ctx, pose)
+        ctx = folding.evaluator_object_context(self.eva_folded_f32, bps)
+        score = folding.evaluator_apply_folded(self.eva_folded_f32, ctx,
+                                               pose)
         return Grasps(transl=transl, rot_matrix=rot, joint_conf=joints,
                       score=score, z=g.z)
 
@@ -426,7 +456,7 @@ class GraspEngine:
         """Score external grasps (reference dexgangrasp.py:367-391)."""
         g = grasps if isinstance(grasps, Grasps) else Grasps.from_dict(grasps)
         bps = jnp.asarray(bps, jnp.float32).reshape(-1)
-        score = score_grasps(self.eva_folded, bps,
+        score = score_grasps(self.eva_folded_f32, bps,
                              jnp.asarray(g.rot_matrix, jnp.float32),
                              jnp.asarray(g.transl, jnp.float32), g.n)
         return np.asarray(score) if return_arr else score
@@ -453,7 +483,8 @@ class GraspEngine:
                 self.disc_folded, bps_j, rot, transl,
                 jnp.asarray(g.joint_conf, jnp.float32), g.n)
         else:
-            score = score_grasps(self.eva_folded, bps_j, rot, transl, g.n)
+            score = score_grasps(self.eva_folded_f32, bps_j, rot, transl,
+                                 g.n)
         score = np.asarray(score)
         order = np.argsort(-score)
         sorted_score = score[order]

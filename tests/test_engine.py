@@ -206,3 +206,34 @@ def test_bf16_serving_mode_numerics(nets, bps_row):
     t16, s16 = run(gb, eb, jnp.bfloat16)
     assert float(jnp.mean(jnp.abs(s16 - s32))) < 5e-3
     assert float(jnp.max(jnp.abs(t16 - t32))) < 1e-3
+
+
+def test_engine_bf16_mode(nets, bps_row):
+    """GraspEngine(bf16=True): generate/filter/evaluate surfaces work, the
+    sample path scores within the bf16 gate of the f32 engine on the SAME
+    z draw, refine+evaluate run through the f32 copy."""
+    (gen, gp, gs), _, (eva, ep, es) = nets
+    e32 = GraspEngine(gp, gs, ep, es, cloud_pad=2048)
+    e16 = GraspEngine(gp, gs, ep, es, cloud_pad=2048, bf16=True)
+    assert e16.gen_folded["rb1"]["w2"].dtype == jnp.bfloat16
+    assert e16.eva_folded_f32["rb1"]["w2"].dtype == jnp.float32
+
+    g32 = e32.generate_grasps(bps_row, 64, seed=3)
+    g16 = e16.generate_grasps(bps_row, 64, seed=3)
+    # same f32 z draw in both modes → same candidates, bounded drift
+    np.testing.assert_allclose(g16["z"], g32["z"])
+    assert float(np.mean(np.abs(g16["score"] - g32["score"]))) < 5e-3
+    assert float(np.max(np.abs(g16["transl"] - g32["transl"]))) < 1e-3
+    assert g16["rot_matrix"].dtype == np.float32
+
+    # reference-compat filter + evaluate surfaces stay functional (f32)
+    s = e16.evaluate_grasps(bps_row, g16)
+    assert s.shape == (64,) and s.dtype == np.float32
+    out = e16.filter_grasps(bps_row, g16, thresh=-1.0)
+    assert out["rot_matrix"].shape[0] == 64
+
+    # refine tail (f32 copy) composes with the bf16 sampler
+    e16.refine_steps = 2
+    gr = e16.generate_grasps(bps_row, 32, seed=4)
+    assert gr["transl"].shape == (32, 3)
+    assert np.isfinite(gr["score"]).all()
