@@ -471,3 +471,38 @@ def test_frame_to_grasps_multi_set_two_objects():
                                    np.broadcast_to(np.eye(3), R.shape),
                                    atol=1e-4)
         assert (np.diff(np.asarray(g.score[k])) <= 1e-6).all()
+
+
+def test_frame_to_grasps_bf16_engine_weights():
+    """The fused frame program composes with bf16-cast folded weights
+    (engine bf16 serving mode): same scene → same object segmentation,
+    scores within the bf16 gate of the f32 run."""
+    rng = np.random.default_rng(101)
+    (_, gp, gs), _ = init_dexgan(jax.random.PRNGKey(0))
+    _, ep, es = init_evaluator(jax.random.PRNGKey(1))
+    gf = folding.fold_generator(gp, gs)
+    ef = folding.fold_evaluator(ep, es)
+    basis = generate_basis(jax.random.PRNGKey(2), 4096, 0.2)
+
+    plane = np.concatenate(
+        [rng.uniform(-0.3, 0.3, (1200, 2)),
+         0.5 + rng.normal(size=(1200, 1)) * 0.002], axis=1)
+    obj = rng.normal(size=(400, 3)) * 0.03 + [0.05, -0.02, 0.35]
+    pts = np.concatenate([plane, obj]).astype(np.float32)
+    padded = jnp.asarray(pad_cloud(pts, 2048))
+    nv = jnp.asarray(pts.shape[0])
+
+    kw = dict(n_samples=256, top_k=8, ransac_iters=256,
+              outlier_method="statistical")
+    g32, c32, n32, _ = frame_to_grasps(gf, ef, basis, padded, nv,
+                                       jax.random.PRNGKey(3), **kw)
+    gb = folding.cast_folded(gf, jnp.bfloat16)
+    eb = folding.cast_folded(ef, jnp.bfloat16)
+    g16, c16, n16, _ = frame_to_grasps(gb, eb, basis, padded, nv,
+                                       jax.random.PRNGKey(3), **kw)
+    assert int(n16) == int(n32)  # segmentation (f32 front-end) unchanged
+    np.testing.assert_allclose(np.asarray(c16), np.asarray(c32), atol=1e-6)
+    assert g16.transl.dtype == jnp.float32
+    # same key → same z draw → same candidates; top-8 scores drift-bounded
+    assert float(np.mean(np.abs(np.asarray(g16.score)
+                                - np.asarray(g32.score)))) < 5e-3
