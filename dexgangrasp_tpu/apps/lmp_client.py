@@ -90,6 +90,49 @@ def _center_blob_segmenter(color: np.ndarray, prompt: str) -> np.ndarray:
     return fg & ellipse
 
 
+class PartSegSegmenter:
+    """Learned part segmenter (models/partseg.py) behind the segmenter
+    callable contract: ``seg(color (H,W,3) uint8, prompt) -> (H,W) bool``.
+
+    This is the repo's real-model replacement for the reference's VLPart
+    stage (`dexafford_prompt.py:20,149-156`): plug into ``LmpStubServer``
+    to serve it over the wire protocol, or pass directly as
+    ``AffordancePipeline(run_lmp=...)`` (the prompt argument is accepted
+    for wire compatibility; this model is single-part, trained by
+    tools/partseg_study.py).
+    """
+
+    def __init__(self, params_or_path, threshold: float = 0.5):
+        if isinstance(params_or_path, (str, bytes)):
+            from dexgangrasp_tpu.train.checkpoints import load_pytrees
+
+            trees, meta = load_pytrees(params_or_path)
+            self.params = trees["params"]
+            self.meta = meta
+        else:
+            self.params = params_or_path
+            self.meta = {}
+        self.threshold = threshold
+        self._jit = None
+
+    def __call__(self, color_image: np.ndarray,
+                 prompt: str = "") -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        from dexgangrasp_tpu.models.partseg import (
+            downsample_frame, partseg_apply, upsample_mask)
+
+        if self._jit is None:
+            self._jit = jax.jit(partseg_apply)
+        img, low_hw = downsample_frame(color_image)
+        logits = self._jit(self.params, jnp.asarray(img)[None])
+        prob = np.asarray(jax.nn.sigmoid(logits[0, ..., 0]))
+        return upsample_mask(prob, low_hw,
+                             np.asarray(color_image).shape[:2],
+                             self.threshold)
+
+
 class LmpStubServer:
     """Local stand-in for the VLPart/MLLM service (same wire protocol).
 

@@ -1,0 +1,191 @@
+"""Learned part segmentation — the TPU-native stand-in for VLPart.
+
+The reference's DexAfford-Prompt grounds "which part do I grab" with the
+VLPart + MLLM stack vendored as a git submodule and called through
+``run_lmp(color_image)`` (`/root/reference/dexafford_prompt.py:20,149-156`):
+a color frame goes in, a part mask comes out, and everything downstream
+(`filter_grasps_given_mask.py:84-138`) only ever sees the mask.
+
+This module provides a real learned model with the same contract — a
+small encoder-decoder conv net (UNet shape) over the color frame
+predicting per-pixel part logits — so the full online affordance path
+can run end-to-end against an actual network rather than the geometric
+stub in ``apps/lmp_client.py``.  It is trained on the synthetic
+part-oracle scenes (``tools/afford_study.py``) by ``tools/partseg_study``,
+and served behind the exact LMP wire protocol via
+``apps.lmp_client.PartSegSegmenter``.
+
+Design notes (TPU):
+- NHWC convs with HWIO kernels — XLA:TPU's native conv layout; all
+  spatial dims static.  The working resolution is the camera frame
+  mean-pooled 8× (720×1280 → 90×160, padded to 96×160), so one forward
+  is ~0.2 GFLOP — negligible next to the grasp programs.
+- Stateless GroupNorm instead of BatchNorm: no running-stats state to
+  thread, identical train/eval behavior, batch-size independent.
+- Pure functional: ``partseg_init`` → params pytree,
+  ``partseg_apply(params, img)`` → logits; jit/vmap/pjit compose.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dexgangrasp_tpu.models.layers import leaky_relu
+
+# working resolution: camera frames are mean-pooled by POOL then padded
+# symmetrically to the next multiple of 2**N_DOWN (3 stride-2 stages)
+POOL = 8
+N_DOWN = 3
+
+
+def _conv_init(key: jax.Array, cin: int, cout: int, k: int = 3) -> Dict:
+    """He-normal conv kernel (HWIO) + zero bias."""
+    std = (2.0 / (k * k * cin)) ** 0.5
+    w = jax.random.normal(key, (k, k, cin, cout), jnp.float32) * std
+    return {"w": w, "b": jnp.zeros((cout,), jnp.float32)}
+
+
+def _conv(p: Dict, x: jax.Array, stride: int = 1) -> jax.Array:
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(stride, stride), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + p["b"]
+
+
+def _gn_init(c: int) -> Dict:
+    return {"g": jnp.ones((c,), jnp.float32),
+            "beta": jnp.zeros((c,), jnp.float32)}
+
+
+def _gn(p: Dict, x: jax.Array, groups: int = 8) -> jax.Array:
+    b, h, w, c = x.shape
+    g = min(groups, c)
+    xg = x.reshape(b, h, w, g, c // g)
+    mu = xg.mean(axis=(1, 2, 4), keepdims=True)
+    var = xg.var(axis=(1, 2, 4), keepdims=True)
+    xg = (xg - mu) * jax.lax.rsqrt(var + 1e-5)
+    return xg.reshape(b, h, w, c) * p["g"] + p["beta"]
+
+
+def _block_init(key: jax.Array, cin: int, cout: int) -> Dict:
+    k1, k2 = jax.random.split(key)
+    return {"c1": _conv_init(k1, cin, cout), "n1": _gn_init(cout),
+            "c2": _conv_init(k2, cout, cout), "n2": _gn_init(cout)}
+
+
+def _block(p: Dict, x: jax.Array) -> jax.Array:
+    x = leaky_relu(_gn(p["n1"], _conv(p["c1"], x)))
+    return leaky_relu(_gn(p["n2"], _conv(p["c2"], x)))
+
+
+def partseg_init(key: jax.Array, width: int = 24, in_ch: int = 3) -> Dict:
+    """Initialize the UNet: widths (w, 2w, 4w, 8w), 3 downsamples."""
+    ws = [width, 2 * width, 4 * width, 8 * width]
+    keys = jax.random.split(key, 16)
+    params: Dict = {"stem": _block_init(keys[0], in_ch, ws[0])}
+    for i in range(N_DOWN):  # encoder: stride-2 conv + block
+        params[f"down{i}"] = _conv_init(keys[1 + i], ws[i], ws[i + 1])
+        params[f"enc{i}"] = _block_init(keys[4 + i], ws[i + 1], ws[i + 1])
+    for i in range(N_DOWN):  # decoder: upsample, concat skip, block
+        cin = ws[N_DOWN - i] + ws[N_DOWN - 1 - i]
+        params[f"dec{i}"] = _block_init(keys[7 + i], cin, ws[N_DOWN - 1 - i])
+    params["head"] = _conv_init(keys[10], ws[0], 1, k=1)
+    return params
+
+
+def _upsample2(x: jax.Array) -> jax.Array:
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+def partseg_apply(params: Dict, img: jax.Array) -> jax.Array:
+    """(B, H, W, C) float in [0, 1] → (B, H, W, 1) part logits.
+
+    H and W must be multiples of ``2**N_DOWN`` (the client pads).
+    """
+    skips = []
+    x = _block(params["stem"], img)
+    for i in range(N_DOWN):
+        skips.append(x)
+        x = leaky_relu(_conv(params[f"down{i}"], x, stride=2))
+        x = _block(params[f"enc{i}"], x)
+    for i in range(N_DOWN):
+        x = _upsample2(x)
+        x = jnp.concatenate([x, skips[N_DOWN - 1 - i]], axis=-1)
+        x = _block(params[f"dec{i}"], x)
+    return _conv(params["head"], x)
+
+
+def partseg_loss(params: Dict, img: jax.Array, label: jax.Array,
+                 pos_weight: float = 12.0) -> jax.Array:
+    """Weighted BCE-with-logits + soft-Dice.
+
+    Part pixels are ~2-6% of the frame; ``pos_weight`` keeps the model
+    from collapsing to all-background, Dice keeps region overlap the
+    objective rather than per-pixel accuracy.
+    """
+    logits = partseg_apply(params, img)[..., 0]
+    label = label.astype(jnp.float32)
+    z = jax.nn.log_sigmoid(logits)
+    zc = jax.nn.log_sigmoid(-logits)
+    bce = -(pos_weight * label * z + (1.0 - label) * zc).mean()
+    p = jax.nn.sigmoid(logits)
+    inter = (p * label).sum(axis=(1, 2))
+    dice = 1.0 - (2.0 * inter + 1.0) / (p.sum(axis=(1, 2))
+                                        + label.sum(axis=(1, 2)) + 1.0)
+    return bce + dice.mean()
+
+
+# ------------------------------------------------------- host-side resize
+
+def padded_hw(h: int, w: int) -> Tuple[int, int]:
+    m = 2 ** N_DOWN
+    return ((h + m - 1) // m * m, (w + m - 1) // m * m)
+
+
+def downsample_frame(color) -> "tuple":
+    """Host-side: (H, W, 3) uint8 color frame → (Hp, Wp, 3) float32 in
+    [0, 1] at the POOL-decimated, padded working resolution.
+
+    Returns (img, (h_low, w_low)) where the second element is the
+    unpadded low-res extent (for cropping predictions back out).
+    """
+    import numpy as np
+
+    c = np.asarray(color, np.float32) / 255.0
+    H, W = c.shape[:2]
+    h, w = H // POOL, W // POOL
+    c = c[:h * POOL, :w * POOL]
+    c = c.reshape(h, POOL, w, POOL, -1).mean(axis=(1, 3))
+    hp, wp = padded_hw(h, w)
+    img = np.zeros((hp, wp, c.shape[-1]), np.float32)
+    img[:h, :w] = c
+    return img, (h, w)
+
+
+def upsample_mask(prob_low, low_hw, out_hw, threshold: float = 0.5):
+    """Low-res probability map → full-resolution bool mask (nearest)."""
+    import numpy as np
+
+    h, w = low_hw
+    H, W = out_hw
+    p = np.asarray(prob_low)[:h, :w]
+    mask = p > threshold
+    return np.repeat(np.repeat(mask, POOL, axis=0), POOL, axis=1
+                     )[:H, :W] if POOL > 1 else mask[:H, :W]
+
+
+def downsample_label(mask, frac: float = 0.25) -> "object":
+    """Full-res bool mask → low-res training label (mean-pool > frac),
+    padded to the working resolution."""
+    import numpy as np
+
+    m = np.asarray(mask, np.float32)
+    H, W = m.shape
+    h, w = H // POOL, W // POOL
+    m = m[:h * POOL, :w * POOL].reshape(h, POOL, w, POOL).mean(axis=(1, 3))
+    hp, wp = padded_hw(h, w)
+    lab = np.zeros((hp, wp), np.float32)
+    lab[:h, :w] = m > frac
+    return lab

@@ -69,6 +69,8 @@ SLOW_TESTS = {
     "test_gan_chunk_runs_and_learns_shapes",
     "test_chunk_matches_stepwise",
     "test_variable_depth_evaluator_and_folding",
+    # part segmenter overfit run (tools/partseg_study.py)
+    "test_partseg_overfits_tiny_scenes",
     # long GAN/evaluator training-descends cases
     "test_checkpoint_roundtrip",
     "test_checkpoint_roundtrip_orbax",
