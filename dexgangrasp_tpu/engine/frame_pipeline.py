@@ -32,13 +32,31 @@ from dexgangrasp_tpu.ops.perception import segment_object_device
 
 
 def compact_masked_points(points: jax.Array, mask: jax.Array,
-                          out_size: int) -> jax.Array:
+                          out_size: int,
+                          decimate: bool = False) -> jax.Array:
     """Gather masked rows into a fixed (out_size, 3) buffer (PAD-filled).
 
     Static-shape stream compaction via cumsum+scatter (O(N), no sort):
     shrinks the encode workload to the object's actual extent instead of
-    the full padded frame."""
-    idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    the full padded frame.
+
+    ``decimate=True`` changes what happens when MORE than ``out_size``
+    rows are masked: instead of keeping the first ``out_size`` in buffer
+    order (a spatially biased prefix — camera frames are raster-ordered,
+    so plain truncation drops the entire bottom of the scene), it keeps
+    every ⌈n/out_size⌉-th masked row, a uniform thinning across the whole
+    extent.  When n ≤ out_size both modes are identical, and the output
+    is packed contiguously at the front either way (the [0, m) valid-
+    region contract every caller relies on)."""
+    mi = mask.astype(jnp.int32)
+    if decimate:
+        n = jnp.maximum(jnp.sum(mi), 1)
+        rank = jnp.cumsum(mi) - 1
+        slot = (rank * out_size) // n
+        prev = jnp.where(rank > 0, ((rank - 1) * out_size) // n, -1)
+        mask = mask & (slot != prev)  # first masked row of each slot
+        mi = mask.astype(jnp.int32)
+    idx = jnp.cumsum(mi) - 1
     dest = jnp.where(mask & (idx < out_size), idx, out_size)  # drop slot
     out = jnp.full((out_size + 1, 3), PAD_VALUE, points.dtype)
     out = out.at[dest].set(points, mode="drop")
@@ -83,8 +101,9 @@ def _segment_center_encode(basis, points, n_valid, k_seg,
         cand = valid & ~plane_inliers
         out_size = max(1024, points.shape[0] // 4)
         # compaction packs candidates at the front, so the buffer's
-        # valid region is exactly [0, m)
-        buf = compact_masked_points(points, cand, out_size)
+        # valid region is exactly [0, m); decimate so an over-full frame
+        # thins uniformly instead of losing its raster-order tail
+        buf = compact_masked_points(points, cand, out_size, decimate=True)
         m = jnp.minimum(jnp.sum(cand), out_size)
         if outlier_method == "radius":
             keep = radius_outlier_mask_device(
@@ -430,7 +449,7 @@ def _segment_multi_encode(basis, points, n_valid, k_seg, max_objects,
                                            tabletop_prior=tabletop_prior)
     cand = valid & ~plane_inliers
     out_size = max(1024, points.shape[0] // 2)
-    buf = compact_masked_points(points, cand, out_size)
+    buf = compact_masked_points(points, cand, out_size, decimate=True)
     m = jnp.minimum(jnp.sum(cand), out_size)
     if outlier_method == "radius":
         keep = radius_outlier_mask_device(
@@ -451,7 +470,7 @@ def _segment_multi_encode(basis, points, n_valid, k_seg, max_objects,
         denom = jnp.maximum(n_k.astype(points.dtype), 1.0)
         center = jnp.sum(jnp.where(mask[:, None], buf, 0.0),
                          axis=0) / denom
-        packed = compact_masked_points(buf, mask, obj_size)
+        packed = compact_masked_points(buf, mask, obj_size, decimate=True)
         slot_ok = jnp.arange(obj_size) < n_k
         centered = jnp.where(slot_ok[:, None], packed - center, PAD_VALUE)
         # batched (vmapped) encode: blocked-XLA path (kernel batching

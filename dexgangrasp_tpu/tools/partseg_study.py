@@ -172,10 +172,39 @@ def scenes_to_arrays(scenes: List[Dict]) -> Tuple[np.ndarray, np.ndarray]:
 
 # ----------------------------------------------------------- training
 
+def _augment_batch(key, imgs, labels):
+    """On-device per-sample augmentation inside the jitted train chunk:
+    horizontal/vertical flips (scenes have random camera roll, so both
+    are label-preserving) + per-sample/channel photometric jitter."""
+    import jax
+    import jax.numpy as jnp
+
+    def one(key, img, lab):
+        kh, kv, kg, kb = jax.random.split(key, 4)
+        fh = jax.random.bernoulli(kh)
+        img = jnp.where(fh, img[:, ::-1], img)
+        lab = jnp.where(fh, lab[:, ::-1], lab)
+        fv = jax.random.bernoulli(kv)
+        img = jnp.where(fv, img[::-1], img)
+        lab = jnp.where(fv, lab[::-1], lab)
+        gain = jax.random.uniform(kg, (1, 1, 3), minval=0.7, maxval=1.3)
+        bias = jax.random.uniform(kb, (1, 1, 3), minval=-0.08,
+                                  maxval=0.08)
+        return jnp.clip(img * gain + bias, 0.0, 1.0), lab
+
+    keys = jax.random.split(key, imgs.shape[0])
+    return jax.vmap(one)(keys, imgs, labels)
+
+
 def train_partseg(imgs: np.ndarray, labels: np.ndarray, steps: int,
                   batch_size: int = 16, lr: float = 3e-4,
                   width: int = 24, seed: int = 0,
-                  log_every: int = 200):
+                  log_every: int = 200, inner: int = 20,
+                  augment: bool = True):
+    """Scan-chunked training: ``inner`` optimizer steps per device
+    dispatch (the axon relay costs ~35-150 ms per dispatched program —
+    CLAUDE.md — so stepwise host loops are relay-bound, not compute-
+    bound; same device-resident pattern as train/fast.py)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -190,21 +219,33 @@ def train_partseg(imgs: np.ndarray, labels: np.ndarray, steps: int,
 
     d_imgs = jax.device_put(jnp.asarray(imgs))
     d_labels = jax.device_put(jnp.asarray(labels))
+    inner = max(1, min(inner, steps))
 
     @jax.jit
-    def step(params, opt_state, key):
-        idx = jax.random.randint(key, (batch_size,), 0, d_imgs.shape[0])
-        loss, grads = jax.value_and_grad(partseg_loss)(
-            params, d_imgs[idx], d_labels[idx])
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    def chunk(params, opt_state, key):
+        def body(carry, _):
+            params, opt_state, key = carry
+            key, ki, ka = jax.random.split(key, 3)
+            idx = jax.random.randint(ki, (batch_size,), 0,
+                                     d_imgs.shape[0])
+            bi, bl = d_imgs[idx], d_labels[idx]
+            if augment:
+                bi, bl = _augment_batch(ka, bi, bl)
+            loss, grads = jax.value_and_grad(partseg_loss)(params, bi, bl)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state,
+                    key), loss
+        (params, opt_state, key), losses = jax.lax.scan(
+            body, (params, opt_state, key), None, length=inner)
+        return params, opt_state, key, losses.mean()
 
     t0 = time.time()
-    for i in range(steps):
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, sub)
-        if log_every and (i % log_every == 0 or i == steps - 1):
-            print(f"step {i}: loss {float(loss):.4f} "
+    done = 0
+    while done < steps:
+        params, opt_state, key, loss = chunk(params, opt_state, key)
+        done += inner
+        if log_every and (done // inner) % max(1, log_every // inner) == 0:
+            print(f"step {done}: loss {float(loss):.4f} "
                   f"({time.time() - t0:.0f}s)")
     return params
 
@@ -324,6 +365,9 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="runs/partseg_study")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--ckpt", default=None,
+                    help="load a trained partseg checkpoint instead of "
+                    "training (skips scene/train phases except eval)")
     # end-to-end affordance comparison (needs engine checkpoints)
     ap.add_argument("--e2e", action="store_true")
     ap.add_argument("--gen", default="runs/flagship_4x/30000_vae_net.npz")
@@ -340,31 +384,39 @@ def main(argv: Optional[list] = None):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    print(f"building {args.n_train}+{args.n_eval} scenes ...")
     t0 = time.time()
-    train_scenes = build_scenes(args.n_train, args.seed, keep_full=False)
     eval_scenes = build_scenes(args.n_eval, args.seed + 7777,
                                keep_full=True)
-    imgs, labels = scenes_to_arrays(train_scenes)
-    print(f"scenes built in {time.time() - t0:.0f}s; "
-          f"train imgs {imgs.shape}, part frac "
-          f"{labels.mean():.4f}")
+    os.makedirs(args.out, exist_ok=True)
+    if args.ckpt:
+        from dexgangrasp_tpu.train.checkpoints import load_pytrees
 
-    params = train_partseg(imgs, labels, args.steps, args.batch_size,
-                           args.lr, args.width, args.seed)
+        trees, _meta = load_pytrees(args.ckpt)
+        params = trees["params"]
+        print(f"loaded {args.ckpt}; eval scenes in {time.time() - t0:.0f}s")
+    else:
+        print(f"building {args.n_train}+{args.n_eval} scenes ...")
+        train_scenes = build_scenes(args.n_train, args.seed,
+                                    keep_full=False)
+        imgs, labels = scenes_to_arrays(train_scenes)
+        print(f"scenes built in {time.time() - t0:.0f}s; "
+              f"train imgs {imgs.shape}, part frac "
+              f"{labels.mean():.4f}")
+        params = train_partseg(imgs, labels, args.steps, args.batch_size,
+                               args.lr, args.width, args.seed)
 
     report: Dict = {"config": vars(args).copy(),
                     "mask_eval": eval_masks(params, eval_scenes)}
     print("held-out mask metrics:", report["mask_eval"])
 
-    os.makedirs(args.out, exist_ok=True)
-    from dexgangrasp_tpu.train.checkpoints import save_pytrees
+    if not args.ckpt:
+        from dexgangrasp_tpu.train.checkpoints import save_pytrees
 
-    ckpt = os.path.join(args.out, f"{args.steps}_partseg_net.npz")
-    save_pytrees(ckpt, {"params": params},
-                 meta={"kind": "partseg", "width": args.width,
-                       "steps": args.steps})
-    print("saved", ckpt)
+        ckpt = os.path.join(args.out, f"{args.steps}_partseg_net.npz")
+        save_pytrees(ckpt, {"params": params},
+                     meta={"kind": "partseg", "width": args.width,
+                           "steps": args.steps})
+        print("saved", ckpt)
 
     if args.e2e:
         from dexgangrasp_tpu.cli import load_engine
@@ -385,7 +437,8 @@ def main(argv: Optional[list] = None):
                   f"| {a[side + '_success_rate']:.3f} "
                   f"| {a[side + '_dist_to_part_m']:.4f} |")
 
-    path = os.path.join(args.out, "report.json")
+    path = os.path.join(args.out,
+                        "report_e2e.json" if args.ckpt else "report.json")
     with open(path, "w") as f:
         json.dump(report, f, indent=2)
     print("wrote", path)

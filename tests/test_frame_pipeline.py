@@ -147,6 +147,48 @@ def test_clipped_flag_reports_buffer_truncation():
     assert int(n_obj2) <= 1024  # kept set is bounded by the buffer
 
 
+def test_compact_decimate_uniform_thinning():
+    """decimate=True keeps every ~n/out-th masked row when over-full (a
+    uniform spatial thinning, not a raster-order prefix), stays packed at
+    the front, and is bit-identical to plain compaction when it fits."""
+    from dexgangrasp_tpu.engine.frame_pipeline import (
+        PAD_VALUE, compact_masked_points)
+
+    # fits: identical to the non-decimated path
+    pts = np.arange(60, dtype=np.float32).reshape(20, 3)
+    mask = np.zeros(20, bool)
+    mask[3:15] = True
+    a = np.asarray(compact_masked_points(jnp.asarray(pts),
+                                         jnp.asarray(mask), 16))
+    b = np.asarray(compact_masked_points(jnp.asarray(pts),
+                                         jnp.asarray(mask), 16,
+                                         decimate=True))
+    np.testing.assert_array_equal(a, b)
+
+    # over-full: 100 masked rows into 10 slots
+    pts2 = np.stack([np.arange(100, dtype=np.float32),
+                     np.zeros(100, np.float32),
+                     np.zeros(100, np.float32)], axis=1)
+    full = np.ones(100, bool)
+    out = 10
+    trunc = np.asarray(compact_masked_points(
+        jnp.asarray(pts2), jnp.asarray(full), out))
+    deci = np.asarray(compact_masked_points(
+        jnp.asarray(pts2), jnp.asarray(full), out, decimate=True))
+    assert (trunc[:, 0] == np.arange(10)).all()      # prefix: rows 0..9
+    assert (deci[:, 0] == np.arange(0, 100, 10)).all()  # uniform stride
+    assert not (deci == PAD_VALUE).any()             # packed, no gaps
+    # partial mask over-full: valid region stays [0, min(n, out))
+    mask3 = np.zeros(100, bool)
+    mask3[::4] = True  # 25 masked rows -> 10 kept
+    deci3 = np.asarray(compact_masked_points(
+        jnp.asarray(pts2), jnp.asarray(mask3), out, decimate=True))
+    assert not (deci3 == PAD_VALUE).any()
+    kept = deci3[:, 0]
+    assert kept[0] == 0.0 and kept[-1] >= 84.0  # spans the full extent
+    assert (np.diff(kept) > 0).all()
+
+
 def test_frame_to_grasps_multi_two_objects():
     """Whole-scene serving: a plane + two separated blobs → one device
     program returns per-object top-k grasps, centroids near each blob,
