@@ -102,7 +102,8 @@ class PartSegSegmenter:
     tools/partseg_study.py).
     """
 
-    def __init__(self, params_or_path, threshold: float = 0.5):
+    def __init__(self, params_or_path, threshold: float = 0.5,
+                 pool: Optional[int] = None):
         if isinstance(params_or_path, (str, bytes)):
             from dexgangrasp_tpu.train.checkpoints import load_pytrees
 
@@ -112,6 +113,9 @@ class PartSegSegmenter:
         else:
             self.params = params_or_path
             self.meta = {}
+        from dexgangrasp_tpu.models.partseg import POOL
+
+        self.pool = pool or int(self.meta.get("pool", POOL))
         self.threshold = threshold
         self._jit = None
 
@@ -125,12 +129,12 @@ class PartSegSegmenter:
 
         if self._jit is None:
             self._jit = jax.jit(partseg_apply)
-        img, low_hw = downsample_frame(color_image)
+        img, low_hw = downsample_frame(color_image, pool=self.pool)
         logits = self._jit(self.params, jnp.asarray(img)[None])
         prob = np.asarray(jax.nn.sigmoid(logits[0, ..., 0]))
         return upsample_mask(prob, low_hw,
                              np.asarray(color_image).shape[:2],
-                             self.threshold)
+                             self.threshold, pool=self.pool)
 
 
 class LmpStubServer:

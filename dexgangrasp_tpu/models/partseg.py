@@ -34,8 +34,11 @@ import jax.numpy as jnp
 
 from dexgangrasp_tpu.models.layers import leaky_relu
 
-# working resolution: camera frames are mean-pooled by POOL then padded
-# symmetrically to the next multiple of 2**N_DOWN (3 stride-2 stages)
+# default working resolution: camera frames are mean-pooled by POOL then
+# padded to the next multiple of 2**N_DOWN (3 stride-2 stages).  A
+# perfect low-res mask upsampled back to 720p caps IoU at ~0.68 for
+# pool=8 and ~0.78 for pool=4 (boundary quantization), so checkpoints
+# record their pool in meta and the segmenter honors it.
 POOL = 8
 N_DOWN = 3
 
@@ -144,9 +147,9 @@ def padded_hw(h: int, w: int) -> Tuple[int, int]:
     return ((h + m - 1) // m * m, (w + m - 1) // m * m)
 
 
-def downsample_frame(color) -> "tuple":
+def downsample_frame(color, pool: int = POOL) -> "tuple":
     """Host-side: (H, W, 3) uint8 color frame → (Hp, Wp, 3) float32 in
-    [0, 1] at the POOL-decimated, padded working resolution.
+    [0, 1] at the pool-decimated, padded working resolution.
 
     Returns (img, (h_low, w_low)) where the second element is the
     unpadded low-res extent (for cropping predictions back out).
@@ -155,16 +158,17 @@ def downsample_frame(color) -> "tuple":
 
     c = np.asarray(color, np.float32) / 255.0
     H, W = c.shape[:2]
-    h, w = H // POOL, W // POOL
-    c = c[:h * POOL, :w * POOL]
-    c = c.reshape(h, POOL, w, POOL, -1).mean(axis=(1, 3))
+    h, w = H // pool, W // pool
+    c = c[:h * pool, :w * pool]
+    c = c.reshape(h, pool, w, pool, -1).mean(axis=(1, 3))
     hp, wp = padded_hw(h, w)
     img = np.zeros((hp, wp, c.shape[-1]), np.float32)
     img[:h, :w] = c
     return img, (h, w)
 
 
-def upsample_mask(prob_low, low_hw, out_hw, threshold: float = 0.5):
+def upsample_mask(prob_low, low_hw, out_hw, threshold: float = 0.5,
+                  pool: int = POOL):
     """Low-res probability map → full-resolution bool mask (nearest)."""
     import numpy as np
 
@@ -172,19 +176,20 @@ def upsample_mask(prob_low, low_hw, out_hw, threshold: float = 0.5):
     H, W = out_hw
     p = np.asarray(prob_low)[:h, :w]
     mask = p > threshold
-    return np.repeat(np.repeat(mask, POOL, axis=0), POOL, axis=1
-                     )[:H, :W] if POOL > 1 else mask[:H, :W]
+    return np.repeat(np.repeat(mask, pool, axis=0), pool, axis=1
+                     )[:H, :W] if pool > 1 else mask[:H, :W]
 
 
-def downsample_label(mask, frac: float = 0.25) -> "object":
+def downsample_label(mask, frac: float = 0.25,
+                     pool: int = POOL) -> "object":
     """Full-res bool mask → low-res training label (mean-pool > frac),
     padded to the working resolution."""
     import numpy as np
 
     m = np.asarray(mask, np.float32)
     H, W = m.shape
-    h, w = H // POOL, W // POOL
-    m = m[:h * POOL, :w * POOL].reshape(h, POOL, w, POOL).mean(axis=(1, 3))
+    h, w = H // pool, W // pool
+    m = m[:h * pool, :w * pool].reshape(h, pool, w, pool).mean(axis=(1, 3))
     hp, wp = padded_hw(h, w)
     lab = np.zeros((hp, wp), np.float32)
     lab[:h, :w] = m > frac

@@ -158,15 +158,17 @@ def build_scenes(n_scenes: int, seed: int, keep_full: bool,
     return out
 
 
-def scenes_to_arrays(scenes: List[Dict]) -> Tuple[np.ndarray, np.ndarray]:
+def scenes_to_arrays(scenes: List[Dict], pool: Optional[int] = None
+                     ) -> Tuple[np.ndarray, np.ndarray]:
     from dexgangrasp_tpu.models.partseg import (
-        downsample_frame, downsample_label)
+        POOL, downsample_frame, downsample_label)
 
+    pool = pool or POOL
     imgs, labels = [], []
     for s in scenes:
-        img, _ = downsample_frame(s["color"])
+        img, _ = downsample_frame(s["color"], pool=pool)
         imgs.append(img)
-        labels.append(downsample_label(s["mask"]))
+        labels.append(downsample_label(s["mask"], pool=pool))
     return np.stack(imgs), np.stack(labels)
 
 
@@ -252,8 +254,8 @@ def train_partseg(imgs: np.ndarray, labels: np.ndarray, steps: int,
 
 # --------------------------------------------------------------- eval
 
-def predict_mask(params, color: np.ndarray,
-                 threshold: float = 0.5) -> np.ndarray:
+def predict_mask(params, color: np.ndarray, threshold: float = 0.5,
+                 pool: Optional[int] = None) -> np.ndarray:
     """Full-res bool mask from a color frame (host resize + one forward).
 
     Same path the production segmenter uses
@@ -261,8 +263,9 @@ def predict_mask(params, color: np.ndarray,
     from dexgangrasp_tpu.apps.lmp_client import PartSegSegmenter
 
     seg = _SEG_CACHE.get(id(params))
-    if seg is None or seg.threshold != threshold:
-        seg = PartSegSegmenter(params, threshold=threshold)
+    if seg is None or seg.threshold != threshold or (
+            pool and seg.pool != pool):
+        seg = PartSegSegmenter(params, threshold=threshold, pool=pool)
         _SEG_CACHE[id(params)] = seg
     return seg(color)
 
@@ -280,8 +283,10 @@ def mask_metrics(pred: np.ndarray, gt: np.ndarray) -> Dict:
     }
 
 
-def eval_masks(params, scenes: List[Dict]) -> Dict:
-    rows = [mask_metrics(predict_mask(params, s["color"]), s["mask"])
+def eval_masks(params, scenes: List[Dict],
+               pool: Optional[int] = None) -> Dict:
+    rows = [mask_metrics(predict_mask(params, s["color"], pool=pool),
+                         s["mask"])
             for s in scenes]
     return {k: round(float(np.mean([r[k] for r in rows])), 4)
             for k in rows[0]}
@@ -291,14 +296,14 @@ def eval_masks(params, scenes: List[Dict]) -> Dict:
 
 def e2e_compare(engine, params, scenes: List[Dict], n_samples: int,
                 top_k: int, final_k: int, seed: int,
-                workdir: str) -> Dict:
+                workdir: str, pool: Optional[int] = None) -> Dict:
     """Oracle-mask vs learned-mask vs unranked through the full
     offline affordance path, oracle-scored (afford_study protocol)."""
     from dexgangrasp_tpu.apps.afford_offline import run_afford_offline
 
     rows = []
     for si, s in enumerate(scenes):
-        learned = predict_mask(params, s["color"])
+        learned = predict_mask(params, s["color"], pool=pool)
         variants = {"oracle": s["mask"], "learned": learned}
         row: Dict = {"scene": si,
                      "mask_iou": mask_metrics(learned, s["mask"])["iou"],
@@ -362,6 +367,11 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--width", type=int, default=24)
+    ap.add_argument("--pool", type=int, default=None,
+                    help="working-resolution decimation factor "
+                    "(default models/partseg.POOL = 8; 4 doubles the "
+                    "working res and lifts the upsampling IoU ceiling "
+                    "0.68 -> 0.78)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="runs/partseg_study")
     ap.add_argument("--cpu", action="store_true")
@@ -391,14 +401,16 @@ def main(argv: Optional[list] = None):
     if args.ckpt:
         from dexgangrasp_tpu.train.checkpoints import load_pytrees
 
-        trees, _meta = load_pytrees(args.ckpt)
+        trees, meta = load_pytrees(args.ckpt)
         params = trees["params"]
+        pool = args.pool or int(meta.get("pool", 0)) or None
         print(f"loaded {args.ckpt}; eval scenes in {time.time() - t0:.0f}s")
     else:
+        pool = args.pool
         print(f"building {args.n_train}+{args.n_eval} scenes ...")
         train_scenes = build_scenes(args.n_train, args.seed,
                                     keep_full=False)
-        imgs, labels = scenes_to_arrays(train_scenes)
+        imgs, labels = scenes_to_arrays(train_scenes, pool=pool)
         print(f"scenes built in {time.time() - t0:.0f}s; "
               f"train imgs {imgs.shape}, part frac "
               f"{labels.mean():.4f}")
@@ -406,16 +418,18 @@ def main(argv: Optional[list] = None):
                                args.lr, args.width, args.seed)
 
     report: Dict = {"config": vars(args).copy(),
-                    "mask_eval": eval_masks(params, eval_scenes)}
+                    "mask_eval": eval_masks(params, eval_scenes,
+                                            pool=pool)}
     print("held-out mask metrics:", report["mask_eval"])
 
     if not args.ckpt:
+        from dexgangrasp_tpu.models.partseg import POOL
         from dexgangrasp_tpu.train.checkpoints import save_pytrees
 
         ckpt = os.path.join(args.out, f"{args.steps}_partseg_net.npz")
         save_pytrees(ckpt, {"params": params},
                      meta={"kind": "partseg", "width": args.width,
-                           "steps": args.steps})
+                           "steps": args.steps, "pool": pool or POOL})
         print("saved", ckpt)
 
     if args.e2e:
@@ -426,7 +440,7 @@ def main(argv: Optional[list] = None):
         with tempfile.TemporaryDirectory(prefix="partseg_e2e_") as wd:
             report["e2e"] = e2e_compare(
                 engine, params, eval_scenes, args.n_samples, args.top_k,
-                args.final_k, args.seed, wd)
+                args.final_k, args.seed, wd, pool=pool)
         a = report["e2e"]["aggregate"]
         print("\n| selection | part-hit | part-contact | success | "
               "dist-to-part (m) |")

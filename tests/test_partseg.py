@@ -65,6 +65,16 @@ def test_resize_round_trip_geometry():
     assert lab.shape == (96, 160)
     assert lab[10:20, 40:60].all() and lab[90:].sum() == 0
 
+    # pool=4 variant: 720x1280 -> 180x320 (already multiple of 8)
+    img4, low4 = downsample_frame(np.zeros((720, 1280, 3), np.uint8),
+                                  pool=4)
+    assert low4 == (180, 320) and img4.shape == (184, 320, 3)
+    lab4 = downsample_label(full, pool=4)
+    assert lab4.shape == (184, 320) and lab4[20:40, 80:120].all()
+    m4 = upsample_mask(np.ones((184, 320), np.float32), (180, 320),
+                       (720, 1280), pool=4)
+    assert m4.shape == (720, 1280) and m4.all()
+
 
 def test_shade_frame_uses_depth_only():
     """Shading must not leak the part label: two scenes with identical
@@ -142,6 +152,10 @@ def test_partseg_segmenter_serves_wire_protocol(tmp_path):
 
     seg = PartSegSegmenter(ckpt, threshold=0.5)
     assert seg.meta["kind"] == "partseg"
+    assert seg.pool == 8  # default POOL when meta has no pool entry
+    save_pytrees(ckpt, {"params": params},
+                 meta={"kind": "partseg", "pool": 4})
+    assert PartSegSegmenter(ckpt).pool == 4  # checkpoint meta honored
     color = np.random.default_rng(0).integers(
         0, 255, (240, 320, 3), dtype=np.uint8)
     direct = seg(color)
