@@ -178,3 +178,48 @@ def test_affordance_pipeline_accepts_learned_segmenter():
     color = np.full((120, 160, 3), 127, np.uint8)
     mask = seg(color)
     assert mask.shape == (120, 160) and mask.any()
+
+
+def test_online_affordance_loop_with_learned_model(basis):
+    """The full DexAfford ONLINE loop against a real network: organized
+    camera frame → LMP retry → HTTP wire → PartSegSegmenter forward →
+    part-centroid ranking → evaluator sort (reference
+    dexafford_prompt.py:130-254, with the learned net standing where
+    VLPart does)."""
+    import jax
+
+    from dexgangrasp_tpu.apps.afford import AffordancePipeline
+    from dexgangrasp_tpu.apps.lmp_client import (
+        LmpClient, LmpStubServer, PartSegSegmenter)
+    from dexgangrasp_tpu.apps.realtime import RealtimeConfig
+    from dexgangrasp_tpu.engine.pipeline import GraspEngine
+    from dexgangrasp_tpu.models.networks import init_dexgan, init_evaluator
+
+    (_, gp, gs), _ = init_dexgan(jax.random.PRNGKey(0))
+    _, ep, es = init_evaluator(jax.random.PRNGKey(1))
+    engine = GraspEngine(gp, gs, ep, es, basis=basis, cloud_pad=1024)
+
+    # organized frame: table plane + box bump (the realtime-test scene)
+    H, W = 48, 64
+    xs, ys = np.meshgrid(np.linspace(-0.4, 0.4, W),
+                         np.linspace(-0.3, 0.3, H))
+    cloud = np.stack([xs, ys, np.full((H, W), 0.8)], axis=-1)
+    r = np.random.default_rng(3)
+    cloud[16:32, 24:40, 2] -= 0.08 + 0.02 * r.random((16, 16))
+    color = np.full((H, W, 3), 180, np.uint8)
+    color[16:32, 24:40] = 60
+
+    seg = PartSegSegmenter(partseg_init(jax.random.PRNGKey(7), width=8),
+                           threshold=0.0)  # untrained: mask everything
+    cfg = RealtimeConfig(base_T_cam=np.eye(4), flange_T_palm=np.eye(4),
+                         n_samples=32, thresh=-1.0, num_grasps=5)
+    with LmpStubServer(segmenter=seg) as srv:
+        pipe = AffordancePipeline(engine, cfg,
+                                  run_lmp=LmpClient(srv.endpoint,
+                                                    prompt="handle"),
+                                  top_k=8)
+        out = pipe.step_afford(color, cloud)
+    assert out["part_centroid"] is not None
+    assert out["filtered"]["rot_matrix"].shape[0] == 8
+    s = np.asarray(out["filtered"]["score"])
+    assert (np.diff(s) <= 1e-6).all()  # evaluator-sorted desc
