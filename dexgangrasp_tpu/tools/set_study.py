@@ -31,7 +31,7 @@ def run_set_study(data_dir: str, eva_ckpt: str,
                   n_queries: int = 16, lr: float = 1e-4,
                   batch_views: int = 32, max_grasps: int = 32,
                   refine_steps: int = 10, thresh=(0.5, 0.75, 0.90),
-                  seed: int = 0) -> dict:
+                  seed: int = 0, matcher: str = "host") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -78,7 +78,7 @@ def run_set_study(data_dir: str, eva_ckpt: str,
     ts, history = train_set_transformer(
         trainer, ts, table, steps, batch_views=batch_views, seed=seed,
         eval_table=etable, eval_every=max(1, steps // 10),
-        log=lambda s: print(f"[set] {s}", flush=True))
+        log=lambda s: print(f"[set] {s}", flush=True), matcher=matcher)
     train_seconds = time.time() - t1
 
     set_path = os.path.join(out_dir, f"{steps}_set_net.npz")
@@ -164,10 +164,14 @@ def main():
     ap.add_argument("--n-queries", type=int, default=16)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--refine-steps", type=int, default=10)
+    ap.add_argument("--matcher", default="host",
+                    choices=("host", "device"),
+                    help="host scipy Hungarian (exact) or the fused "
+                         "device auction (one program/step, dp-clean)")
     args = ap.parse_args()
     run_set_study(args.data_dir, args.eva, out_dir=args.out,
                   steps=args.steps, n_queries=args.n_queries, lr=args.lr,
-                  refine_steps=args.refine_steps)
+                  refine_steps=args.refine_steps, matcher=args.matcher)
 
 
 if __name__ == "__main__":

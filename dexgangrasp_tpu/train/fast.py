@@ -380,6 +380,34 @@ def vae_train_chunk(trainer, ts, table: Dict[str, jax.Array],
     return jax.lax.scan(body, ts, jax.random.split(key, steps))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("trainer", "steps", "batch_size", "mesh"))
+def set_train_chunk(trainer, ts, table: Dict[str, jax.Array],
+                    key: jax.Array, steps: int, batch_size: int, mesh=None):
+    """K fused DETR set-prediction steps in one program.
+
+    Only possible with the DEVICE matcher: the eps-optimal auction
+    (ops/assignment.py) replaces the per-step host Hungarian sync, so
+    the whole minibatch loop scans on device like every other family —
+    through the axon relay this amortizes the ~35-50 ms fixed dispatch
+    cost over K steps (the host-matched path pays it every step).
+    ``table``: build_set_table output {"bps" (V,4096), "gt" (V,M,21),
+    "mask" (V,M)}, normalized upstream if the trainer has a normalizer.
+    ``mesh``: dp-sharded scan interior (see evaluator_train_chunk)."""
+    V = table["bps"].shape[0]
+
+    def body(ts, k):
+        rows = jax.random.randint(k, (batch_size,), 0, V)
+        batch = _constrain_dp({"bps": table["bps"][rows],
+                               "gt": table["gt"][rows],
+                               "mask": table["mask"][rows]}, mesh)
+        ts, logs = trainer._fused_step_body(ts, batch["bps"], batch["gt"],
+                                            batch["mask"], mesh=mesh)
+        return ts, logs["loss"]
+
+    return jax.lax.scan(body, ts, jax.random.split(key, steps))
+
+
 @functools.partial(jax.jit, static_argnames=("trainer", "batch_size",
                                              "mesh"))
 def evaluator_scores(trainer: GanTrainer, params, state,

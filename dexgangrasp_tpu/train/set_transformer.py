@@ -10,10 +10,12 @@ descends matched regression losses + a matched/unmatched confidence BCE.
 Division of labor (TPU-first):
 - forward pass, cost matrices, loss and gradients: batched matmuls under
   one jit each (the heavy work);
-- the Hungarian assignment itself: ``scipy.optimize.linear_sum_assignment``
-  on host per view — a ≤(n_q x M) LAP measured in microseconds, not worth
-  a device Sinkhorn; the host↔device traffic is one (B, n_q, M) cost
-  download and one (B, n_q) index upload per step.
+- the assignment itself has two paths: ``matcher="host"`` runs
+  ``scipy.optimize.linear_sum_assignment`` per view (the exact oracle;
+  one (B, n_q, M) cost download + one (B, n_q) index upload per step),
+  and ``matcher="device"`` runs an eps-optimal auction
+  (``ops/assignment.py``) INSIDE the grad-step jit — the whole step is
+  one device program with no host sync, so a dp mesh shards it cleanly.
 
 Loss weights mirror the reference's generator recon coefficients
 (transl 100 / rot 1 / joint 10, ``dexgangrasp.py:92-94``) so the family
@@ -188,11 +190,65 @@ class SetTrainer:
         return (SetTrainState(params=params, opt=opt, step=ts.step + 1),
                 {"loss": loss, "reg": reg, "bce": bce})
 
+    @functools.partial(jax.jit, static_argnames=("self", "mesh"))
+    def _fused_step(self, ts: SetTrainState, bps, gt, mask, mesh=None):
+        return self._fused_step_body(ts, bps, gt, mask, mesh=mesh)
+
+    def _fused_step_body(self, ts: SetTrainState, bps, gt, mask,
+                         mesh=None):
+        """Forward → cost → DEVICE auction matching → grad, ONE program.
+
+        Removes the per-step host Hungarian round trip (the dp-scaling
+        cap noted in __graft_entry__): matching runs as a vmapped
+        eps-optimal auction (ops/assignment.py) inside the same jit as
+        the gradient, so a dp mesh shards the whole step — no sync.
+        Unjitted body so ``train/fast.set_train_chunk`` can scan over it
+        (K steps in one dispatched program — the device-resident trainer
+        the host matcher made impossible)."""
+        from dexgangrasp_tpu.ops.assignment import auction_assign_batch
+
+        bps, gt, mask = _constrain_views((bps, gt, mask), mesh)
+        pred, _ = self.model.apply_batch(ts.params, bps)
+        cost = self._pair_cost(jax.lax.stop_gradient(pred), gt)
+        midx, mok = auction_assign_batch(cost, mask)
+        midx, mok = jax.lax.stop_gradient((midx, mok))
+
+        def loss_fn(params):
+            pred, logit = self.model.apply_batch(params, bps)
+            tgt = jnp.take_along_axis(gt, midx[..., None], axis=1)
+            sq = lambda sl: jnp.sum(
+                (pred[..., sl] - tgt[..., sl]) ** 2, axis=-1)
+            reg = (ROT_COEF * sq(slice(0, 6))
+                   + TRANSL_COEF * sq(slice(6, 9))
+                   + JOINT_COEF * sq(slice(9, None)))
+            n_match = jnp.maximum(jnp.sum(mok), 1.0)
+            reg_loss = jnp.sum(reg * mok) / n_match
+            bce = optax.sigmoid_binary_cross_entropy(logit, mok)
+            bce_loss = jnp.mean(bce)
+            return reg_loss + bce_loss, (reg_loss, bce_loss)
+
+        (loss, (reg, bce)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(ts.params)
+        updates, opt = self.tx.update(grads, ts.opt, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        return (SetTrainState(params=params, opt=opt, step=ts.step + 1),
+                {"loss": loss, "reg": reg, "bce": bce})
+
     def train_step(self, ts: SetTrainState, bps: np.ndarray,
-                   gt: np.ndarray, mask: np.ndarray, mesh=None):
-        """One DETR step: jit cost → host Hungarian → jit grad step.
-        ``mesh``: dp-shard the views axis of both device programs (the
-        gradient all-reduce over 'data' is inserted by GSPMD)."""
+                   gt: np.ndarray, mask: np.ndarray, mesh=None,
+                   matcher: str = "host"):
+        """One DETR step.  ``matcher="host"``: jit cost → host Hungarian
+        (scipy, the exact oracle) → jit grad step.  ``matcher="device"``:
+        the fully fused single-program step (eps-optimal auction on
+        device — no host sync; see ``_fused_step``).  ``mesh``: dp-shard
+        the views axis of the device program(s) (the gradient all-reduce
+        over 'data' is inserted by GSPMD)."""
+        if matcher == "device":
+            return self._fused_step(ts, jnp.asarray(bps), jnp.asarray(gt),
+                                    jnp.asarray(np.asarray(mask, bool)),
+                                    mesh=mesh)
+        if matcher != "host":
+            raise ValueError(f"unknown matcher {matcher!r}")
         cost = np.asarray(self.cost_matrix(ts.params, jnp.asarray(bps),
                                            jnp.asarray(gt), mesh=mesh))
         midx, mok = self.match(cost, mask)
@@ -207,20 +263,55 @@ def train_set_transformer(trainer: SetTrainer, ts: SetTrainState,
                           eval_table: Optional[Dict[str, np.ndarray]] = None,
                           eval_every: int = 1000,
                           log: Optional[Callable[[str], None]] = None,
-                          mesh=None) -> Tuple[SetTrainState, list]:
+                          mesh=None, matcher: str = "host",
+                          chunked: bool = False
+                          ) -> Tuple[SetTrainState, list]:
     """Minibatch-of-views loop; history carries train losses and (if an
-    eval table is given) the eval-split matched regression cost."""
+    eval table is given) the eval-split matched regression cost.
+    ``matcher`` selects the per-step assignment path (see
+    ``SetTrainer.train_step``).  ``chunked`` (device matcher only) runs
+    ``eval_every``-step device-resident ``lax.scan`` chunks
+    (train/fast.set_train_chunk) instead of per-step dispatches —
+    one program per chunk, minibatches drawn by jax.random inside the
+    scan."""
     rng = np.random.default_rng(seed)
     v = table["bps"].shape[0]
     gt_n = table["gt"]
     if trainer.normalizer is not None:
         nm = trainer.normalizer
         gt_n = np.asarray(nm.normalize(jnp.asarray(gt_n)))
+    if chunked:
+        if matcher != "device":
+            raise ValueError("chunked set training requires "
+                             "matcher='device' (the host Hungarian "
+                             "cannot run inside lax.scan)")
+        from dexgangrasp_tpu.train.fast import put_table, set_train_chunk
+
+        dev = put_table({"bps": table["bps"], "gt": gt_n,
+                         "mask": table["mask"]}, mesh)
+        key = jax.random.PRNGKey(seed)
+        history, done = [], 0
+        while done < total_steps:
+            n = min(eval_every, total_steps - done)
+            key, sub = jax.random.split(key)
+            ts, losses = set_train_chunk(trainer, ts, dev, sub, steps=n,
+                                         batch_size=batch_views, mesh=mesh)
+            done += n
+            m = {"step": done, "loss": float(jnp.mean(losses))}
+            if eval_table is not None:
+                m["eval_matched_cost"] = eval_matched_cost(
+                    trainer, ts.params, eval_table)
+            history.append(m)
+            if log:
+                log(" ".join(f"{k} {val:.5g}" if isinstance(val, float)
+                             else f"{k} {val}" for k, val in m.items()))
+        return ts, history
     history, run = [], []
     for i in range(1, total_steps + 1):
         vi = rng.integers(0, v, batch_views)
         ts, logs = trainer.train_step(ts, table["bps"][vi], gt_n[vi],
-                                      table["mask"][vi], mesh=mesh)
+                                      table["mask"][vi], mesh=mesh,
+                                      matcher=matcher)
         run.append(logs)
         if i % eval_every == 0 or i == total_steps:
             m = {"step": i}

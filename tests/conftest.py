@@ -60,6 +60,8 @@ SLOW_TESTS = {
     "test_gan_chunk_sharded_matches_single_device",
     "test_diffusion_chunk_sharded_matches_single_device",
     "test_set_step_sharded_matches_single_device",
+    "test_fused_set_step_sharded_matches_single_device",
+    "test_set_chunk_sharded_matches_single_device",
     # host train drivers end-to-end
     "test_driver_end_to_end_and_resume",
     "test_cli_fast_train",
@@ -89,6 +91,7 @@ SLOW_TESTS = {
     "test_frame_to_grasps_diffusion_student_branch",
     # set-prediction transformer: DETR loop + full-size engine integration
     "test_set_training_learns_fixed_sets",
+    "test_fused_device_training_learns",
     "test_set_engine_serves_and_composes",
     # diffusion family training/sampling e2e
     "test_guided_sampling_scale_zero_matches_plain_ddim",

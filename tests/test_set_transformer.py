@@ -104,6 +104,94 @@ def test_set_training_learns_fixed_sets():
         assert conf_m > conf_u
 
 
+def test_fused_device_step_matches_host_step():
+    """matcher="device" (auction inside the grad jit) must reproduce the
+    host-Hungarian step whenever the optimal matching is unique — random
+    costs from a fresh init are generically well-separated, so one step
+    from the same state must land on the same params."""
+    model = GraspTransformer(**TINY)
+    trainer = SetTrainer(model, lr=1e-3)
+    v, m_pad = 4, 6
+    bps = rng.uniform(0, 0.2, (v, 4096)).astype(np.float32)
+    gt = rng.normal(size=(v, m_pad, 21)).astype(np.float32)
+    mask = np.zeros((v, m_pad), np.float32)
+    for i in range(v):
+        mask[i, : int(rng.integers(1, m_pad + 1))] = 1.0
+
+    ts0 = trainer.init_state(jax.random.PRNGKey(3))
+    ts_h, log_h = trainer.train_step(ts0, bps, gt, mask, matcher="host")
+    ts_d, log_d = trainer.train_step(ts0, bps, gt, mask, matcher="device")
+    assert float(log_h["loss"]) == pytest.approx(float(log_d["loss"]),
+                                                 abs=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ts_h.params),
+                    jax.tree_util.tree_leaves(ts_d.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+    with pytest.raises(ValueError):
+        trainer.train_step(ts0, bps, gt, mask, matcher="sinkhorn")
+
+
+def test_set_chunk_matches_stepwise_fused():
+    """set_train_chunk (K fused steps under lax.scan) must reproduce K
+    individual fused-step dispatches fed the same jax.random batches."""
+    from dexgangrasp_tpu.train.fast import put_table, set_train_chunk
+
+    model = GraspTransformer(**TINY)
+    trainer = SetTrainer(model)
+    v, m_pad, bs, steps = 6, 5, 3, 4
+    table = {
+        "bps": rng.uniform(0, 0.2, (v, 4096)).astype(np.float32),
+        "gt": rng.normal(size=(v, m_pad, 21)).astype(np.float32),
+        "mask": (rng.uniform(size=(v, m_pad)) < 0.7).astype(np.float32),
+    }
+    dev = put_table(table)
+    key = jax.random.PRNGKey(5)
+    ts0 = trainer.init_state(jax.random.PRNGKey(1))
+    ts_c, losses = set_train_chunk(trainer, ts0, dev, key,
+                                   steps=steps, batch_size=bs)
+    ts_s = ts0
+    for k in jax.random.split(key, steps):
+        rows = jax.random.randint(k, (bs,), 0, v)
+        ts_s, logs = trainer._fused_step(ts_s, dev["bps"][rows],
+                                         dev["gt"][rows],
+                                         dev["mask"][rows])
+    assert float(losses[-1]) == pytest.approx(float(logs["loss"]),
+                                              abs=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ts_c.params),
+                    jax.tree_util.tree_leaves(ts_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_fused_device_training_learns():
+    """The chunked single-program DETR loop (device auction inside a
+    lax.scan, no host sync anywhere) collapses the matched cost on a
+    fixed-set table, same as the host-matched loop."""
+    model = GraspTransformer(**TINY)
+    trainer = SetTrainer(model, lr=3e-3)
+    ts = trainer.init_state(jax.random.PRNGKey(0))
+    m_pad = 4
+    table = {
+        "bps": rng.uniform(0, 0.2, (2, 4096)).astype(np.float32),
+        "gt": np.zeros((2, m_pad, 21), np.float32),
+        "mask": np.zeros((2, m_pad), np.float32),
+    }
+    table["gt"][:, :3] = rng.normal(size=(2, 3, 21)).astype(np.float32)
+    table["mask"][:, :3] = 1.0
+
+    from dexgangrasp_tpu.train.set_transformer import eval_matched_cost
+
+    with pytest.raises(ValueError):  # chunking needs the device matcher
+        train_set_transformer(trainer, ts, table, 10, chunked=True)
+
+    cost0 = eval_matched_cost(trainer, ts.params, table)
+    ts, history = train_set_transformer(trainer, ts, table, 200,
+                                        batch_views=2, eval_every=100,
+                                        eval_table=table,
+                                        matcher="device", chunked=True)
+    assert history[-1]["eval_matched_cost"] < 0.2 * cost0
+
+
 def test_set_engine_serves_and_composes(tmp_path):
     from dexgangrasp_tpu.cli import load_engine
     from dexgangrasp_tpu.engine.set_pipeline import SetEngine

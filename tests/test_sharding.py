@@ -408,3 +408,69 @@ def test_set_step_sharded_matches_single_device():
                     jax.tree.leaves(ts_sh.params)):
         a, b = np.asarray(a), np.asarray(b)
         np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3)
+
+
+def test_set_chunk_sharded_matches_single_device():
+    """set_train_chunk (fused auction steps under lax.scan) dp-shards its
+    scan interior; the sharded chunk must reproduce the unsharded one."""
+    from dexgangrasp_tpu.models.grasp_transformer import GraspTransformer
+    from dexgangrasp_tpu.parallel.sharding import replicate
+    from dexgangrasp_tpu.train.fast import put_table, set_train_chunk
+    from dexgangrasp_tpu.train.set_transformer import SetTrainer
+
+    model = GraspTransformer(n_queries=8, n_layers=2)
+    trainer = SetTrainer(model)
+    v, m_gt = 16, 6
+    table = {
+        "bps": rng.uniform(0, 0.2, (v, 4096)).astype(np.float32),
+        "gt": rng.normal(size=(v, m_gt, model.g_dim)).astype(np.float32),
+        "mask": (rng.uniform(size=(v, m_gt)) < 0.7).astype(np.float32),
+    }
+    key = jax.random.PRNGKey(13)
+    ts0 = trainer.init_state(jax.random.PRNGKey(11))
+    ts_ref, losses_ref = set_train_chunk(trainer, ts0, put_table(table),
+                                         key, steps=3, batch_size=8)
+    mesh = data_parallel_mesh(8)
+    ts_sh, losses_sh = set_train_chunk(trainer, replicate(ts0, mesh),
+                                       put_table(table, mesh), key,
+                                       steps=3, batch_size=8, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(losses_sh),
+                               np.asarray(losses_ref),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(ts_ref.params),
+                    jax.tree.leaves(ts_sh.params)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3)
+
+
+def test_fused_set_step_sharded_matches_single_device():
+    """matcher="device": the auction matcher runs INSIDE the grad jit, so
+    the whole DETR step is one GSPMD program — no host seam.  The sharded
+    fused step must reproduce the unsharded fused step."""
+    from dexgangrasp_tpu.models.grasp_transformer import GraspTransformer
+    from dexgangrasp_tpu.parallel.sharding import replicate
+    from dexgangrasp_tpu.train.set_transformer import SetTrainer
+
+    model = GraspTransformer(n_queries=8, n_layers=2)
+    trainer = SetTrainer(model)
+    v, m_gt = 16, 6
+    bps = rng.uniform(0, 0.2, (v, 4096)).astype(np.float32)
+    gt = rng.normal(size=(v, m_gt, model.g_dim)).astype(np.float32)
+    mask = np.zeros((v, m_gt), np.float32)
+    for i in range(v):
+        mask[i, : int(rng.integers(1, m_gt + 1))] = 1.0
+
+    ts_ref = trainer.init_state(jax.random.PRNGKey(11))
+    mesh = data_parallel_mesh(8)
+    ts_sh = replicate(ts_ref, mesh)
+    for _ in range(2):
+        ts_ref, log_ref = trainer.train_step(ts_ref, bps, gt, mask,
+                                             matcher="device")
+        ts_sh, log_sh = trainer.train_step(ts_sh, bps, gt, mask,
+                                           mesh=mesh, matcher="device")
+
+    assert abs(float(log_ref["loss"]) - float(log_sh["loss"])) < 1e-4
+    for a, b in zip(jax.tree.leaves(ts_ref.params),
+                    jax.tree.leaves(ts_sh.params)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3)
