@@ -136,6 +136,34 @@ def run_train_bench(data_dir: str, steps: int = 300, out_path=None) -> dict:
           lambda *a: diffusion_train_chunk(dtr16, dts, diff_dev, key, steps,
                                            2048), 0)
 
+    # set-prediction family: the fused DETR chunk (device auction
+    # matcher, ops/assignment.py) at the real bs=32-views shape
+    from dexgangrasp_tpu.models.grasp_transformer import GraspTransformer
+    from dexgangrasp_tpu.train.fast import set_train_chunk
+    from dexgangrasp_tpu.train.set_transformer import (
+        SetTrainer,
+        build_set_table,
+    )
+
+    set_table = build_set_table(gen_ds)
+    strainer = SetTrainer(GraspTransformer(),
+                          normalizer=GraspNormalizer.fit(g_all))
+    set_dev = put_table({"bps": set_table["bps"],
+                         "gt": np.asarray(strainer.normalizer.normalize(
+                             jnp.asarray(set_table["gt"]))),
+                         "mask": set_table["mask"]})
+    sts = strainer.init_state(jax.random.PRNGKey(0))
+    set_steps = min(steps, 60)  # auction while_loop steps are heavier
+    _, warm = set_train_chunk(strainer, sts, set_dev, key, set_steps, 32)
+    np.asarray(warm)
+    t1 = time.perf_counter()
+    _, losses = set_train_chunk(strainer, sts, set_dev, key, set_steps, 32)
+    np.asarray(losses)
+    dt = time.perf_counter() - t1
+    out["set_fused_bs32_steps_per_sec"] = round(set_steps / dt, 1)
+    print(f"set_fused_bs32_steps_per_sec: {set_steps / dt:.1f} steps/s "
+          f"({dt * 1e3 / set_steps:.2f} ms/step)", flush=True)
+
     # host share for a nominal 100k-step run: tables built once, device
     # does everything else (contrast: the reference pays per-sample h5
     # reopens inside the hot loop, train.py:194)
