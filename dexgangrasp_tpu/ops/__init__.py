@@ -6,3 +6,4 @@ from dexgangrasp_tpu.ops.bps import (
     generate_basis,
 )
 from dexgangrasp_tpu.ops.chamfer import chamfer_distance, chamfer_distance_xla
+from dexgangrasp_tpu.ops.assignment import auction_assign, auction_assign_batch
