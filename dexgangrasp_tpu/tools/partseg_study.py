@@ -189,9 +189,12 @@ def _augment_batch(key, imgs, labels):
         fv = jax.random.bernoulli(kv)
         img = jnp.where(fv, img[::-1], img)
         lab = jnp.where(fv, lab[::-1], lab)
-        gain = jax.random.uniform(kg, (1, 1, 3), minval=0.7, maxval=1.3)
-        bias = jax.random.uniform(kb, (1, 1, 3), minval=-0.08,
-                                  maxval=0.08)
+        # dtype pinned: under x64 (the test mesh) jax.random defaults to
+        # f64, which would promote the f32 images and break the f32 convs
+        gain = jax.random.uniform(kg, (1, 1, 3), dtype=img.dtype,
+                                  minval=0.7, maxval=1.3)
+        bias = jax.random.uniform(kb, (1, 1, 3), dtype=img.dtype,
+                                  minval=-0.08, maxval=0.08)
         return jnp.clip(img * gain + bias, 0.0, 1.0), lab
 
     keys = jax.random.split(key, imgs.shape[0])
@@ -219,12 +222,17 @@ def train_partseg(imgs: np.ndarray, labels: np.ndarray, steps: int,
     opt = optax.adamw(sched, weight_decay=1e-4)
     opt_state = opt.init(params)
 
+    # tables enter as jit ARGUMENTS, not closure constants: closed-over
+    # arrays are baked into the compile payload, and at pool=4 the
+    # 768-scene image table (~540 MB) exceeds the axon relay's
+    # remote_compile request limit (HTTP 413); as arguments they ride as
+    # device-buffer handles.
     d_imgs = jax.device_put(jnp.asarray(imgs))
     d_labels = jax.device_put(jnp.asarray(labels))
     inner = max(1, min(inner, steps))
 
     @jax.jit
-    def chunk(params, opt_state, key):
+    def chunk(params, opt_state, key, d_imgs, d_labels):
         def body(carry, _):
             params, opt_state, key = carry
             key, ki, ka = jax.random.split(key, 3)
@@ -244,7 +252,8 @@ def train_partseg(imgs: np.ndarray, labels: np.ndarray, steps: int,
     t0 = time.time()
     done = 0
     while done < steps:
-        params, opt_state, key, loss = chunk(params, opt_state, key)
+        params, opt_state, key, loss = chunk(params, opt_state, key,
+                                             d_imgs, d_labels)
         done += inner
         if log_every and (done // inner) % max(1, log_every // inner) == 0:
             print(f"step {done}: loss {float(loss):.4f} "

@@ -28,6 +28,37 @@ def test_apply_shapes_and_jit():
     assert np.isfinite(np.asarray(logits)).all()
 
 
+def test_apply_auto_detects_legacy_topology():
+    """Pre-upgrade checkpoints (no CoordConv stem, no global-context
+    block) must keep applying — both options are read off the params
+    structure, not a flag."""
+    import jax
+
+    legacy = partseg_init(jax.random.PRNGKey(0), width=8,
+                          coords=False, global_ctx=False)
+    assert "glob" not in legacy
+    assert legacy["stem"]["c1"]["w"].shape[2] == 3
+    img = np.random.default_rng(3).uniform(size=(2, 48, 80, 3)
+                                           ).astype(np.float32)
+    out = jax.jit(partseg_apply)(legacy, img)
+    assert out.shape == (2, 48, 80, 1)
+    # upgraded topology on the same input
+    new = partseg_init(jax.random.PRNGKey(0), width=8)
+    assert "glob" in new and new["stem"]["c1"]["w"].shape[2] == 5
+    out2 = jax.jit(partseg_apply)(new, img)
+    assert out2.shape == (2, 48, 80, 1)
+    assert np.isfinite(np.asarray(out2)).all()
+    # the global block is live: zeroing its output weights changes logits
+    import jax.numpy as jnp
+
+    new_dead = jax.tree_util.tree_map(lambda x: x, new)
+    new_dead["glob"] = dict(new["glob"],
+                            w2=jnp.zeros_like(new["glob"]["w2"]),
+                            b2=jnp.zeros_like(new["glob"]["b2"]))
+    out3 = jax.jit(partseg_apply)(new_dead, img)
+    assert not np.allclose(np.asarray(out2), np.asarray(out3))
+
+
 def test_loss_finite_and_grad_nonzero():
     import jax
 
