@@ -62,7 +62,7 @@ from dexgangrasp_tpu.data.grasp_geometry import (
 # ------------------------------------------------------------ scene synth
 
 def make_part_object(rng: np.random.Generator, n_points: int = 4096,
-                     part_quantile: float = 0.72
+                     part_quantile: float = 0.72, taper: float = 0.0
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """Superquadric surface + deterministic part labels.
 
@@ -70,6 +70,18 @@ def make_part_object(rng: np.random.Generator, n_points: int = 4096,
     longest semi-axis — the geometric analogue of "the rim/handle end"
     (what a VLPart 'handle'/'rim' mask would segment on a mug-like
     object).  Returns (cloud (N,3) object frame, part (N,) bool).
+
+    ``taper`` (0..~0.6) shrinks the cross-section linearly toward the
+    part end, so the labeled end is the geometrically NARROW one.  The
+    plain superquadric is centrally symmetric (every term of the
+    parameterization is odd under (u,v) negation), so its two long-axis
+    caps are congruent and, after a uniform random pose, *no* appearance
+    model can tell which carries the label — an appearance-based
+    segmenter is capped at a coin flip between the ends.  Real "parts"
+    (handles, spouts, rims) are geometrically distinct; ``taper`` models
+    that while keeping the rule that the label itself never enters the
+    rendering.  Default 0.0 preserves the original symmetric shapes
+    (and the published afford_study numbers) bit-exactly.
     """
     ax = rng.uniform(0.035, 0.09, size=3)
     ax[np.argmax(ax)] = rng.uniform(0.07, 0.10)  # pronounced long axis
@@ -90,6 +102,13 @@ def make_part_object(rng: np.random.Generator, n_points: int = 4096,
     coord = pts[:, axis]
     lo, hi = coord.min(), coord.max()
     part = coord > lo + part_quantile * (hi - lo)
+    if taper:
+        tnorm = (coord - lo) / (hi - lo)
+        scale = 1.0 - taper * tnorm
+        for j in range(3):
+            if j != axis:
+                pts[:, j] *= scale
+        pts -= pts.mean(0)
     return pts.astype(np.float32), part
 
 

@@ -120,9 +120,18 @@ def shade_frame(depth: np.ndarray, rng: np.random.Generator,
 # ----------------------------------------------------------- dataset
 
 def build_scenes(n_scenes: int, seed: int, keep_full: bool,
-                 cam_dist: float = 0.55, part_quantile: float = 0.72
+                 cam_dist: float = 0.55, part_quantile: float = 0.72,
+                 taper: Tuple[float, float] = (0.25, 0.55)
                  ) -> List[Dict]:
     """Render n oracle scenes into (color, mask[, geometry]) dicts.
+
+    Scenes draw a per-object ``taper`` from the given range so the part
+    end is the geometrically narrow one: the symmetric superquadric's
+    two caps are congruent, which makes "which end is the part" exactly
+    a coin flip for any appearance model (see make_part_object) — the
+    measured symptom was bimodal per-scene IoU (~0 on wrong-end scenes,
+    ~0.5 on right-end ones).  Pass ``taper=(0, 0)`` to reproduce the
+    ill-posed symmetric protocol.
 
     Intrinsics are the rig's (apps/afford_offline.DEFAULT_INTRINSICS),
     scaled when the module-level ``HW`` is overridden below 720×1280
@@ -141,8 +150,10 @@ def build_scenes(n_scenes: int, seed: int, keep_full: bool,
     rng = np.random.default_rng(seed)
     out: List[Dict] = []
     while len(out) < n_scenes:
+        tp = float(rng.uniform(*taper)) if taper[1] > 0 else 0.0
         cloud_obj, part = make_part_object(rng,
-                                           part_quantile=part_quantile)
+                                           part_quantile=part_quantile,
+                                           taper=tp)
         scene = render_scene(cloud_obj, part, rng, intrinsics=intr, hw=HW,
                              cam_dist=cam_dist, min_part_pixels=min_part)
         if scene is None:
@@ -382,6 +393,10 @@ def main(argv: Optional[list] = None):
                     "working res and lifts the upsampling IoU ceiling "
                     "0.68 -> 0.78)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--taper-min", type=float, default=0.25)
+    ap.add_argument("--taper-max", type=float, default=0.55,
+                    help="0 0 = the symmetric (provably end-ambiguous) "
+                    "control protocol")
     ap.add_argument("--out", default="runs/partseg_study")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--ckpt", default=None,
@@ -404,8 +419,9 @@ def main(argv: Optional[list] = None):
         jax.config.update("jax_platforms", "cpu")
 
     t0 = time.time()
+    taper = (args.taper_min, args.taper_max)
     eval_scenes = build_scenes(args.n_eval, args.seed + 7777,
-                               keep_full=True)
+                               keep_full=True, taper=taper)
     os.makedirs(args.out, exist_ok=True)
     if args.ckpt:
         from dexgangrasp_tpu.train.checkpoints import load_pytrees
@@ -418,7 +434,7 @@ def main(argv: Optional[list] = None):
         pool = args.pool
         print(f"building {args.n_train}+{args.n_eval} scenes ...")
         train_scenes = build_scenes(args.n_train, args.seed,
-                                    keep_full=False)
+                                    keep_full=False, taper=taper)
         imgs, labels = scenes_to_arrays(train_scenes, pool=pool)
         print(f"scenes built in {time.time() - t0:.0f}s; "
               f"train imgs {imgs.shape}, part frac "

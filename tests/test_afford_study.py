@@ -28,6 +28,41 @@ def test_make_part_object_labels_long_axis_cap():
     np.testing.assert_allclose(cloud, cloud2)
 
 
+def test_make_part_object_taper_breaks_end_symmetry():
+    """The plain superquadric is centrally symmetric, so the two long-axis
+    caps are congruent and appearance alone cannot tell which is the part
+    (the partseg ill-posedness).  taper>0 must (a) leave the default
+    bit-exact, (b) make the part end the geometrically narrow one, and
+    (c) keep the labeled cap on the long axis."""
+    # (a) default taper=0.0 is the original shape
+    c0, p0 = make_part_object(np.random.default_rng(5), n_points=2048)
+    c0b, p0b = make_part_object(np.random.default_rng(5), n_points=2048,
+                                taper=0.0)
+    np.testing.assert_array_equal(p0, p0b)
+    np.testing.assert_allclose(c0, c0b)
+
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        cloud, part = make_part_object(rng, n_points=4096, taper=0.45)
+        # the long axis of the tapered cloud
+        ext = cloud.max(0) - cloud.min(0)
+        axis = int(np.argmax(ext))
+        cross = [j for j in range(3) if j != axis]
+        coord = cloud[:, axis]
+        lo, hi = coord.min(), coord.max()
+        tn = (coord - lo) / (hi - lo)
+        # (b) cross-section radius near the part cap is visibly smaller
+        # than near the far cap
+        r = np.linalg.norm(cloud[:, cross], axis=1)
+        r_part = r[tn > 0.85].max()
+        r_far = r[tn < 0.15].max()
+        assert r_part < 0.75 * r_far, (seed, r_part, r_far)
+        # (c) the part is still the +end cap along the long axis
+        assert part.sum() > 0
+        assert tn[part].min() > 0.6
+        assert tn[~part].max() < tn[part].min() + 1e-6
+
+
 def test_render_scene_frame_consistency():
     """The rendered depth+mask must reproject (through the same intrinsics)
     onto the part region of the visible cloud."""
