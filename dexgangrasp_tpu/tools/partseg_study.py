@@ -417,6 +417,11 @@ def main(argv: Optional[list] = None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # first compile of the train chunk through the relay is ~10 min;
+        # persist it like the bench tools do
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/dexgg_jax_cache")
 
     t0 = time.time()
     taper = (args.taper_min, args.taper_max)
